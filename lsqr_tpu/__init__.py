@@ -1,0 +1,50 @@
+"""lsqr_tpu — a TPU-native LSQR framework (JAX / XLA / Pallas / pjit).
+
+A from-scratch re-design of the capabilities of jacobwilliams/LSQR
+(Paige & Saunders, ACM TOMS 1982, Algorithm 583) for TPU hardware:
+
+* :func:`lsqr` — the core solver: Golub–Kahan bidiagonalization + Givens
+  rotations as a single jitted ``lax.while_loop`` (reference core:
+  /root/reference/src/lsqr.f90:432-882).
+* :class:`LSQRSolver` — class-style COO convenience API (reference EZ class:
+  lsqr.f90:32-65).
+* :mod:`lsqr_tpu.ops` — operator layer: dense (MXU), COO (segment-sum),
+  structured DIA/ELL/BSR formats with Pallas TPU kernels (reference aprod:
+  lsqr.f90:67-82, 134-200).
+* :func:`acheck` / :func:`xcheck` — built-in self-verification
+  (lsqr.f90:908-994, 1015-1154).
+* :mod:`lsqr_tpu.parallel` — row-partitioned distributed solves over a
+  ``jax.sharding.Mesh`` with ICI collectives (no reference analogue; the
+  reference is serial Fortran).
+* :mod:`lsqr_tpu.models` — test-problem generators, incl. the
+  Paige–Saunders HY*D*HZ family (reference: test/lsqrtest_module.f90).
+"""
+
+from .api import LSQRSolver
+from .config import LSQROptions, default_dtype, enable_x64
+from .diagnostics import ACheckResult, XCheckResult, acheck, xcheck
+from .ops.coo import COOOperator, coo_operator
+from .ops.linop import CallbackOperator, DenseOperator, LinearOperator, as_operator
+from .solver import ISTOP_MESSAGES, LSQRResult, lsqr
+
+__version__ = "0.1.0"
+
+__all__ = [
+    "LSQRSolver",
+    "LSQROptions",
+    "LSQRResult",
+    "ISTOP_MESSAGES",
+    "lsqr",
+    "acheck",
+    "xcheck",
+    "ACheckResult",
+    "XCheckResult",
+    "LinearOperator",
+    "DenseOperator",
+    "CallbackOperator",
+    "COOOperator",
+    "coo_operator",
+    "as_operator",
+    "default_dtype",
+    "enable_x64",
+]

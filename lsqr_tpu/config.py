@@ -1,0 +1,103 @@
+"""Configuration layer for the TPU-native LSQR framework.
+
+This is the analogue of the reference's L0 config layer (``lsqr_kinds``,
+/root/reference/src/lsqr_kinds.F90:8-31): it selects the working precision and
+holds the solver tolerances/knobs that the reference passes as (optional)
+arguments (lsqr.f90:481-519 and the EZ-class defaults at lsqr.f90:46-51).
+
+Reference semantics preserved:
+
+* ``atol``/``btol``/``conlim`` equal to zero mean "machine precision"
+  (lsqr.f90:509-512) — the solver's built-in ``1 + t <= 1`` guards give the
+  same effect without substitution, so zeros are passed through untouched.
+* ``itnlim`` default follows the docstring suggestion of ``4*n``
+  (lsqr.f90:513-517) when left as ``None``; the EZ class defaults to 100
+  (lsqr.f90:50) to match the reference class default.
+
+TPU-first additions (no reference analogue):
+
+* dtype policy: float32 is the native fast path; float64 (via
+  ``jax.config.update('jax_enable_x64', True)``) is the conformance mode that
+  reproduces the reference's real64 iteration counts.
+* ``safe_norms`` selects the overflow-safe scaled two-pass 2-norm (the
+  functional replacement for the reference's sequential scale/ssq ``dnrm2``,
+  lsqrblas.f90:123-159).
+"""
+
+from __future__ import annotations
+
+import dataclasses
+from typing import Optional
+
+import jax
+import jax.numpy as jnp
+
+__all__ = [
+    "LSQROptions",
+    "default_dtype",
+    "enable_x64",
+    "eps_for",
+]
+
+
+def enable_x64(enable: bool = True) -> None:
+    """Enable float64 mode (the conformance-precision analogue of the
+    reference's ``-DREAL64`` build flag, lsqr_kinds.F90:16-24).
+
+    On TPU, float64 is emulated by XLA — correct but slow. Use it for
+    reproducing the reference's double-precision iteration counts; use the
+    default float32 for performance runs.
+    """
+    jax.config.update("jax_enable_x64", enable)
+
+
+def default_dtype() -> jnp.dtype:
+    """The working precision `wp` equivalent: f64 when x64 is on, else f32."""
+    return jnp.float64 if jax.config.jax_enable_x64 else jnp.float32
+
+
+def eps_for(dtype) -> float:
+    """Machine precision (`relpr` in the reference docs, lsqr.f90:353-356)."""
+    return float(jnp.finfo(jnp.dtype(dtype)).eps)
+
+
+@dataclasses.dataclass(frozen=True)
+class LSQROptions:
+    """Solver options. Mirrors the reference's LSQR arguments
+    (lsqr.f90:481-519) plus TPU-specific knobs.
+
+    Attributes:
+      atol: relative error estimate for A (0 => machine precision).
+      btol: relative error estimate for b (0 => machine precision).
+      conlim: upper limit on cond(Abar); 0 => 1/eps effectively.
+      itnlim: max iterations; None => 4*n (docstring suggestion,
+        lsqr.f90:513-517).
+      wantse: compute standard-error estimates se (lsqr.f90:451-460).
+      nconv: number of consecutive iterations the convergence criteria must
+        hold (reference hardcodes nconv=1, lsqr.f90:846).
+      record_trace: record the per-iteration log columns in a device-side
+        buffer (the functional replacement for the `nout` iteration log,
+        lsqr.f90:813-837). Shape is (itnlim+1, 11).
+      safe_norms: use the overflow-safe scaled 2-norm like dnrm2
+        (lsqrblas.f90:123-159); if False use the plain sqrt(sum(x^2)).
+      debug_log: emit a live jax.debug.print line per logged iteration
+        (throttled like the reference, lsqr.f90:815-822).
+      dtype: working dtype; None => f64 if x64 enabled else f32.
+    """
+
+    atol: float = 0.0
+    btol: float = 0.0
+    conlim: float = 0.0
+    itnlim: Optional[int] = None
+    wantse: bool = False
+    nconv: int = 1
+    record_trace: bool = False
+    safe_norms: bool = True
+    debug_log: bool = False
+    dtype: Optional[jnp.dtype] = None
+
+    def resolve_itnlim(self, n: int) -> int:
+        return int(self.itnlim) if self.itnlim is not None else 4 * int(n)
+
+    def replace(self, **kw) -> "LSQROptions":
+        return dataclasses.replace(self, **kw)

@@ -1,0 +1,493 @@
+"""LSQR core — Golub–Kahan bidiagonalization with Givens-rotation recurrences,
+as a single jit-compiled ``lax.while_loop``.
+
+This is the TPU-native re-design of the reference's main routine
+(/root/reference/src/lsqr.f90:432-882). The mathematical recurrences, the
+stopping taxonomy (istop 0-5, lsqr.f90:520-538), the machine-precision
+``1 + t <= 1`` guards (lsqr.f90:798-804), the damp-elimination rotation
+(lsqr.f90:703-710), the dxmax cancellation monitor (lsqr.f90:747-757) and the
+standard-error finalization (lsqr.f90:857-865) are reproduced exactly — but
+expressed functionally:
+
+* the whole iteration (bidiag step -> rotations -> x/w update -> norm
+  estimates -> stopping tests) is ONE while_loop body, traced once and
+  compiled by XLA; every vector op fuses on the VPU, the two operator
+  products per iteration are the only HBM-heavy steps;
+* the reference's in-place aliasing updates (``u *= -alpha; u += A v``)
+  become pure expressions with identical operation ordering, so rounding
+  matches the Fortran build closely enough for istop/iteration-count parity
+  in f64;
+* the iteration print log (lsqr.f90:813-837) becomes an optional fixed-shape
+  on-device trace buffer in the loop carry (+ optional live
+  ``jax.debug.print`` with the same throttling rule);
+* runtime branches the reference guards with ``if`` (beta > 0, alpha > 0,
+  damped, rnorm > 0) become masked selects with safe divides.
+
+Distribution hooks: norms over the m-dimension consult the operator's
+``axis_name_m`` so that the same loop body runs unchanged inside
+``shard_map`` with A row-partitioned across a TPU mesh (SURVEY.md §2.2);
+the transpose-product reduction lives inside the operator's ``rmatvec``.
+"""
+
+from __future__ import annotations
+
+from typing import NamedTuple, Optional
+
+import jax
+import jax.numpy as jnp
+
+from .config import LSQROptions
+from .ops.blas import d2norm, nrm2
+from .ops.linop import LinearOperator, as_operator
+
+__all__ = ["LSQRResult", "lsqr", "ISTOP_MESSAGES"]
+
+# Exit messages, verbatim semantics of the reference taxonomy
+# (lsqr.f90:581-586).
+ISTOP_MESSAGES = {
+    0: "The exact solution is x = 0",
+    1: "A solution to Ax = b was found, given atol, btol",
+    2: "A least-squares solution was found, given atol",
+    3: "A damped least-squares solution was found, given atol",
+    4: "Cond(Abar) seems to be too large, given conlim",
+    5: "The iteration limit was reached",
+}
+
+#: columns of the iteration trace buffer (matches the reference log line with
+#: extra=.true., lsqr.f90:827-829)
+TRACE_COLUMNS = (
+    "itn", "x0", "rnorm", "test1", "test2", "anorm", "acond",
+    "phi", "dknorm", "dxk", "alfopt",
+)
+
+
+class LSQRResult(NamedTuple):
+    """Solver outputs — the reference's out-arguments (lsqr.f90:520-563)
+    plus the monitors it only printed (bnorm, dxmax/maxdx) and the optional
+    trace buffer."""
+
+    x: jax.Array        #: computed solution (n,)
+    istop: jax.Array    #: termination reason 0-5 (lsqr.f90:520-538)
+    itn: jax.Array      #: iterations performed
+    anorm: jax.Array    #: Frobenius-norm estimate of Abar
+    acond: jax.Array    #: condition estimate of Abar
+    rnorm: jax.Array    #: norm(rbar) estimate
+    arnorm: jax.Array   #: norm(Abar' rbar) estimate
+    xnorm: jax.Array    #: norm(x) estimate
+    bnorm: jax.Array    #: norm(b)
+    se: Optional[jax.Array]     #: standard-error estimates (n,) or None
+    dxmax: jax.Array    #: max_k norm(phi_k d_k) cancellation monitor
+    maxdx: jax.Array    #: iteration at which dxmax occurred
+    trace: Optional[jax.Array]  #: (itnlim+1, 11) iteration log or None
+
+    @property
+    def istop_message(self) -> str:
+        return ISTOP_MESSAGES[int(self.istop)]
+
+
+class _Carry(NamedTuple):
+    itn: jax.Array
+    istop: jax.Array
+    nstop: jax.Array
+    u: jax.Array
+    v: jax.Array
+    w: jax.Array
+    x: jax.Array
+    se: jax.Array
+    alpha: jax.Array
+    rhobar: jax.Array
+    phibar: jax.Array
+    anorm: jax.Array
+    dnorm: jax.Array
+    dxmax: jax.Array
+    maxdx: jax.Array
+    res2: jax.Array
+    psi: jax.Array
+    xnorm: jax.Array
+    xnorm1: jax.Array
+    cs2: jax.Array
+    sn2: jax.Array
+    z: jax.Array
+    acond: jax.Array
+    rnorm: jax.Array
+    arnorm: jax.Array
+    trace: jax.Array
+
+
+def _debug_line(itn, x0, rnorm, test1, test2, anorm, acond, phi, dknorm, dxk, alfopt):
+    jax.debug.print(
+        "{:6d} {: .9e} {: .9e} {: .2e} {: .2e} {: .2e} {: .1e} "
+        "{: .1e} {: .1e} {: .1e} {: .1e}",
+        itn, x0, rnorm, test1, test2, anorm, acond, phi, dknorm, dxk, alfopt,
+    )
+
+
+def _lsqr_impl(
+    A: LinearOperator,
+    b: jax.Array,
+    damp: jax.Array,
+    atol: jax.Array,
+    btol: jax.Array,
+    conlim: jax.Array,
+    *,
+    itnlim: int,
+    wantse: bool,
+    nconv: int,
+    record_trace: bool,
+    safe_norms: bool,
+    debug_log: bool,
+) -> LSQRResult:
+    m, n = A.shape
+    dtype = b.dtype
+    zero = jnp.zeros((), dtype)
+    one = jnp.ones((), dtype)
+    axis_m = getattr(A, "axis_name_m", None)
+    axis_n = getattr(A, "axis_name_n", None)
+
+    def norm_m(vec):
+        return nrm2(vec, safe=safe_norms, axis_name=axis_m)
+
+    def norm_n(vec):
+        return nrm2(vec, safe=safe_norms, axis_name=axis_n)
+
+    def sum_n(vec):
+        s = jnp.sum(vec)
+        return jax.lax.psum(s, axis_n) if axis_n is not None else s
+
+    damped = damp > zero
+    ctol = jnp.where(conlim > zero, one / jnp.where(conlim > zero, conlim, one), zero)
+
+    # ------------------------------------------------------------------
+    # Setup: first vectors of the bidiagonalization, beta*u = b,
+    # alpha*v = A'u  (lsqr.f90:619-646).
+    # ------------------------------------------------------------------
+    u0 = b
+    beta0 = norm_m(u0)
+    safe_beta0 = jnp.where(beta0 > zero, beta0, one)
+    u0 = jnp.where(beta0 > zero, u0 / safe_beta0, u0)
+    v0 = jnp.where(beta0 > zero, A.rmatvec(u0), jnp.zeros((A.local_n if hasattr(A, "local_n") else n,), dtype))
+    alpha0 = jnp.where(beta0 > zero, norm_n(v0), zero)
+    safe_alpha0 = jnp.where(alpha0 > zero, alpha0, one)
+    v0 = jnp.where(alpha0 > zero, v0 / safe_alpha0, v0)
+    w0 = v0
+    arnorm0 = alpha0 * beta0
+
+    bnorm = beta0
+    n_local = v0.shape[0]
+
+    trace_rows = itnlim + 1 if record_trace else 1
+    trace0 = jnp.zeros((trace_rows, len(TRACE_COLUMNS)), dtype)
+    if record_trace:
+        # itn-0 header line (lsqr.f90:663-669): test1 = 1, test2 = alpha/beta.
+        row0 = jnp.stack(
+            [zero, zero, beta0, one,
+             jnp.where(beta0 > zero, alpha0 / safe_beta0, zero),
+             zero, zero, zero, zero, zero, zero]
+        )
+        trace0 = trace0.at[0].set(row0)
+
+    carry0 = _Carry(
+        itn=jnp.zeros((), jnp.int32),
+        istop=jnp.zeros((), jnp.int32),
+        nstop=jnp.zeros((), jnp.int32),
+        u=u0,
+        v=v0,
+        w=w0,
+        x=jnp.zeros((n_local,), dtype),
+        se=jnp.zeros((n_local if wantse else 1,), dtype),
+        alpha=alpha0,
+        rhobar=alpha0,
+        phibar=beta0,
+        anorm=zero,
+        dnorm=zero,
+        dxmax=zero,
+        maxdx=jnp.zeros((), jnp.int32),
+        res2=zero,
+        psi=zero,
+        xnorm=zero,
+        xnorm1=zero,
+        cs2=-one,
+        sn2=zero,
+        z=zero,
+        acond=zero,
+        rnorm=beta0,
+        arnorm=arnorm0,
+        trace=trace0,
+    )
+
+    def cond_fun(c: _Carry):
+        return jnp.logical_and(c.istop == 0, arnorm0 != zero)
+
+    def body_fun(c: _Carry) -> _Carry:
+        itn = c.itn + 1
+
+        # --- bidiagonalization step (lsqr.f90:681-699) -----------------
+        # u := A v - alpha u ; beta = ||u||
+        u = A.matvec(c.v) - c.alpha * c.u
+        beta = norm_m(u)
+
+        # anorm accumulates ||B_k||_F including damp (lsqr.f90:687-689).
+        temp = d2norm(c.alpha, beta)
+        temp = d2norm(temp, damp)
+        anorm = d2norm(c.anorm, temp)
+
+        # if beta > 0: u /= beta; v := A'u - beta v; alpha = ||v||;
+        # if alpha > 0: v /= alpha   (lsqr.f90:691-699)
+        beta_pos = beta > zero
+        safe_beta = jnp.where(beta_pos, beta, one)
+        u = jnp.where(beta_pos, u / safe_beta, u)
+        v_cand = A.rmatvec(u) - beta * c.v
+        alpha_cand = norm_n(v_cand)
+        alpha_pos = alpha_cand > zero
+        safe_alpha = jnp.where(alpha_pos, alpha_cand, one)
+        v_cand = jnp.where(alpha_pos, v_cand / safe_alpha, v_cand)
+        v = jnp.where(beta_pos, v_cand, c.v)
+        alpha = jnp.where(beta_pos, alpha_cand, c.alpha)
+
+        # --- rotation eliminating damp (lsqr.f90:703-710) ---------------
+        rhbar1_d = d2norm(c.rhobar, damp)
+        safe_rhbar1 = jnp.where(rhbar1_d > zero, rhbar1_d, one)
+        cs1 = c.rhobar / safe_rhbar1
+        sn1 = damp / safe_rhbar1
+        psi = jnp.where(damped, sn1 * c.phibar, c.psi)
+        phibar = jnp.where(damped, cs1 * c.phibar, c.phibar)
+        rhbar1 = jnp.where(damped, rhbar1_d, c.rhobar)
+
+        # --- rotation eliminating beta (lsqr.f90:714-721) ----------------
+        rho = d2norm(rhbar1, beta)
+        safe_rho = jnp.where(rho > zero, rho, one)
+        cs = rhbar1 / safe_rho
+        sn = beta / safe_rho
+        theta = sn * alpha
+        rhobar = -cs * alpha
+        phi = cs * phibar
+        phibar = sn * phibar
+        tau = sn * phi
+
+        # --- fused x/w/se update (lsqr.f90:724-745) ----------------------
+        t1 = phi / safe_rho
+        t2 = -theta / safe_rho
+        t3 = one / safe_rho
+        t = c.w
+        x = t1 * t + c.x
+        w = t2 * t + v
+        dk2 = jnp.square(t3 * t)
+        dknorm = jnp.sqrt(sum_n(dk2))
+        se = c.se + dk2 if wantse else c.se
+
+        # --- cancellation monitor (lsqr.f90:747-757) ---------------------
+        dnorm = d2norm(c.dnorm, dknorm)
+        dxk = jnp.abs(phi * dknorm)
+        new_max = c.dxmax < dxk
+        dxmax = jnp.where(new_max, dxk, c.dxmax)
+        maxdx = jnp.where(new_max, itn, c.maxdx)
+
+        # --- right rotation: xnorm estimator (lsqr.f90:759-771) ----------
+        delta = c.sn2 * rho
+        gambar = -c.cs2 * rho
+        rhs = phi - delta * c.z
+        safe_gambar = jnp.where(gambar != zero, gambar, one)
+        zbar = rhs / safe_gambar
+        xnorm = d2norm(c.xnorm1, zbar)
+        gamma = d2norm(gambar, theta)
+        safe_gamma = jnp.where(gamma > zero, gamma, one)
+        cs2 = gambar / safe_gamma
+        sn2 = theta / safe_gamma
+        z = rhs / safe_gamma
+        xnorm1 = d2norm(c.xnorm1, z)
+
+        # --- norm/condition estimates (lsqr.f90:773-790) ------------------
+        acond = anorm * dnorm
+        res2 = d2norm(c.res2, psi)
+        rnorm = d2norm(res2, phibar)
+        arnorm = alpha * jnp.abs(tau)
+
+        denom_ax = dnorm * xnorm
+        alfopt = jnp.sqrt(
+            jnp.where(denom_ax > zero, rnorm / jnp.where(denom_ax > zero, denom_ax, one), zero)
+        )
+        safe_bnorm = jnp.where(bnorm > zero, bnorm, one)
+        test1 = rnorm / safe_bnorm
+        test2 = jnp.where(
+            rnorm > zero, arnorm / jnp.where(rnorm > zero, anorm * rnorm, one), zero
+        )
+        safe_acond = jnp.where(acond > zero, acond, one)
+        test3 = one / safe_acond
+        t1_rel = test1 / (one + anorm * xnorm / safe_bnorm)
+        rtol = btol + atol * anorm * xnorm / safe_bnorm
+
+        # --- stopping tests (lsqr.f90:798-810): order matters, later
+        # assignments take priority exactly as in the reference.
+        istop = jnp.zeros((), jnp.int32)
+        istop = jnp.where(itn >= itnlim, 5, istop)
+        istop = jnp.where(one + test3 <= one, 4, istop)
+        istop = jnp.where(one + test2 <= one, 2, istop)
+        istop = jnp.where(one + t1_rel <= one, 1, istop)
+        istop = jnp.where(test3 <= ctol, 4, istop)
+        istop = jnp.where(test2 <= atol, 2, istop)
+        istop = jnp.where(test1 <= rtol, 1, istop)
+
+        # --- nconv consecutive-hit logic (lsqr.f90:843-850) --------------
+        nstop = jnp.where(istop == 0, 0, c.nstop + 1)
+        istop = jnp.where(
+            jnp.logical_and(istop != 0, jnp.logical_and(nstop < nconv, itn < itnlim)),
+            0,
+            istop,
+        )
+
+        # --- iteration log (lsqr.f90:813-837) -----------------------------
+        trace = c.trace
+        if record_trace or debug_log:
+            x0_val = x[0] if axis_n is None else jax.lax.all_gather(x, axis_n)[0, 0]
+            row = jnp.stack(
+                [itn.astype(dtype), x0_val, rnorm, test1, test2,
+                 anorm, acond, phi, dknorm, dxk, alfopt]
+            )
+            if record_trace:
+                trace = trace.at[itn].set(row)
+            if debug_log:
+                print_iter = (
+                    (n <= 40)
+                    | (itn <= 10)
+                    | (itn >= itnlim - 10)
+                    | (itn % 10 == 0)
+                    | (test3 <= 2.0 * ctol)
+                    | (test2 <= 10.0 * atol)
+                    | (test1 <= 10.0 * rtol)
+                    | (istop != 0)
+                )
+                jax.lax.cond(
+                    print_iter,
+                    lambda r: _debug_line(itn, *[r[i] for i in range(1, 11)]),
+                    lambda r: None,
+                    row,
+                )
+
+        return _Carry(
+            itn=itn, istop=istop, nstop=nstop,
+            u=u, v=v, w=w, x=x, se=se,
+            alpha=alpha, rhobar=rhobar, phibar=phibar,
+            anorm=anorm, dnorm=dnorm, dxmax=dxmax, maxdx=maxdx,
+            res2=res2, psi=psi,
+            xnorm=xnorm, xnorm1=xnorm1, cs2=cs2, sn2=sn2, z=z,
+            acond=acond, rnorm=rnorm, arnorm=arnorm, trace=trace,
+        )
+
+    final = jax.lax.while_loop(cond_fun, body_fun, carry0)
+
+    # --- standard-error finalization (lsqr.f90:857-865) -------------------
+    se_out = None
+    if wantse:
+        t_static = float(m - n) if m > n else 1.0
+        t = jnp.where(damped, jnp.asarray(float(m), dtype), jnp.asarray(t_static, dtype))
+        t = final.rnorm / jnp.sqrt(t)
+        se_out = t * jnp.sqrt(final.se)
+
+    # damped istop 2 -> 3 reclassification (lsqr.f90:871)
+    istop = jnp.where(
+        jnp.logical_and(damped, final.istop == 2), 3, final.istop
+    )
+
+    return LSQRResult(
+        x=final.x,
+        istop=istop,
+        itn=final.itn,
+        anorm=final.anorm,
+        acond=final.acond,
+        rnorm=final.rnorm,
+        arnorm=final.arnorm,
+        xnorm=final.xnorm,
+        bnorm=bnorm,
+        se=se_out,
+        dxmax=final.dxmax,
+        maxdx=final.maxdx,
+        trace=final.trace if record_trace else None,
+    )
+
+
+_lsqr_jit = jax.jit(
+    _lsqr_impl,
+    static_argnames=(
+        "itnlim", "wantse", "nconv", "record_trace", "safe_norms", "debug_log"
+    ),
+)
+
+
+def lsqr(
+    A,
+    b,
+    damp: float = 0.0,
+    *,
+    x0=None,
+    options: Optional[LSQROptions] = None,
+    m: Optional[int] = None,
+    n: Optional[int] = None,
+    _jit: bool = True,
+    **option_overrides,
+) -> LSQRResult:
+    """Solve ``A x = b``, ``min ||A x - b||`` or the damped problem
+    ``min ||[A; damp I] x - [b; 0]||`` (lsqr.f90:264-273).
+
+    Args:
+      A: a LinearOperator, dense 2-D array, or (matvec, rmatvec) tuple
+        (pass ``m``/``n`` for the tuple form).
+      b: right-hand side, shape (m,). NOT overwritten (the reference
+        overwrites u in place, lsqr.f90:461-462 — a non-issue functionally).
+      damp: damping parameter (lsqr.f90:440-450).
+      x0: optional warm-start estimate. Implements the documented recipe
+        (lsqr.f90:303-320): solve ``A dx = b - A x0`` and return
+        ``x = x0 + dx``. Only meaningful for damp == 0; a nonzero concrete
+        damp together with x0 raises.
+      options / option_overrides: see :class:`lsqr_tpu.config.LSQROptions`.
+
+    Returns:
+      An :class:`LSQRResult`.
+    """
+    opts = options or LSQROptions()
+    if option_overrides:
+        opts = opts.replace(**option_overrides)
+
+    A = as_operator(A, m=m, n=n)
+    b = jnp.asarray(b)
+    dtype = opts.dtype or jnp.result_type(b.dtype, getattr(A, "dtype", None) or b.dtype)
+    if not jnp.issubdtype(dtype, jnp.floating):
+        from .config import default_dtype
+
+        dtype = default_dtype()
+    b = b.astype(dtype)
+    if b.ndim != 1 or (getattr(A, "axis_name_m", None) is None and b.shape[0] != A.m):
+        raise ValueError(
+            f"b must be a vector of length m = {A.m} (the number of rows of "
+            f"A); got shape {b.shape}"
+        )
+
+    if x0 is not None:
+        if isinstance(damp, (int, float)) and damp != 0.0:
+            raise ValueError(
+                "x0 warm start implements the residual-correction recipe "
+                "(lsqr.f90:303-320), which requires damp == 0"
+            )
+        x0 = jnp.asarray(x0, dtype)
+        r0 = b - A.matvec(x0)
+        res = lsqr(A, r0, damp, options=opts, _jit=_jit)
+        return res._replace(x=x0 + res.x, xnorm=nrm2(x0 + res.x, safe=opts.safe_norms))
+
+    itnlim = opts.resolve_itnlim(A.n)
+    fn = _lsqr_jit if _jit else _lsqr_impl
+    kwargs = dict(
+        itnlim=itnlim,
+        wantse=opts.wantse,
+        nconv=opts.nconv,
+        record_trace=opts.record_trace,
+        safe_norms=opts.safe_norms,
+        debug_log=opts.debug_log,
+    )
+    return fn(
+        A,
+        b,
+        jnp.asarray(damp, dtype),
+        jnp.asarray(opts.atol, dtype),
+        jnp.asarray(opts.btol, dtype),
+        jnp.asarray(opts.conlim, dtype),
+        **kwargs,
+    )
