@@ -1,0 +1,263 @@
+"""Distributed row-partitioned LSQR over a TPU device mesh.
+
+The reference is serial Fortran with no parallelism of any kind (SURVEY.md
+§2.2); this module is the TPU-native scaling layer it lacks. The design
+follows the structure of the algorithm:
+
+* A is partitioned by ROWS across a 1-D mesh axis; each device owns a
+  contiguous block of rows (a local COO shard) and the matching slice of
+  every m-vector (u, b).
+* n-vectors (x, v, w) are REPLICATED: the per-iteration scalar recurrence
+  (Givens rotations, norm estimates — lsqr.f90:703-810) is O(1) work, so
+  every device computes it redundantly with zero communication.
+* per iteration exactly TWO collectives are needed, both riding ICI:
+    - rmatvec: local SpMV-T partials -> psum over the row axis
+      (the analogue of the reference's mode-2 full-x accumulation,
+      lsqr.f90:188-192)
+    - ||u||: local sum of squares -> psum (the distributed dnrm2,
+      lsqrblas.f90:123-159)
+  matvec and every n-vector op are communication-free.
+
+The entire while_loop runs INSIDE one ``jax.shard_map`` call: XLA sees a
+single program per device with collectives inside the loop body, so there is
+no per-iteration dispatch overhead and GSPMD can overlap the psum with
+neighbouring compute.
+
+Zero-padding strategy: rows are padded so every device gets an equal block
+(extra rows are all-zero => contribute nothing to any norm or product), and
+each shard's nnz is padded with explicit zeros (val = 0 => no-op in the
+segment sums). This keeps all shapes static and equal across devices — the
+XLA-friendly answer to the reference's arbitrary m.
+"""
+
+from __future__ import annotations
+
+import dataclasses
+from functools import partial
+from typing import Optional
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+from jax.sharding import Mesh, PartitionSpec as P
+
+from ..config import LSQROptions
+from ..ops.coo import COOOperator
+from ..ops.linop import LinearOperator
+from ..solver import LSQRResult, _lsqr_impl
+
+__all__ = ["make_mesh", "shard_coo", "ShardedCOO", "lsqr_sharded"]
+
+
+def make_mesh(n_devices: Optional[int] = None, axis_name: str = "rows") -> Mesh:
+    """A 1-D mesh over the first ``n_devices`` devices (default: all)."""
+    devices = jax.devices()
+    if n_devices is not None:
+        devices = devices[:n_devices]
+    return Mesh(np.array(devices), (axis_name,))
+
+
+@jax.tree_util.register_dataclass
+@dataclasses.dataclass(frozen=True)
+class _LocalRowShard(LinearOperator):
+    """Per-device view of a row-partitioned COO matrix, used inside
+    shard_map. ``m`` is the LOCAL row count; ``n`` is global (x replicated).
+
+    ``axis_name_m`` tells the solver core to complete u-norms with psum
+    over the row axis (see lsqr_tpu.solver norm hooks)."""
+
+    vals: jax.Array
+    rows: jax.Array   # local row indices in [0, m_local)
+    cols: jax.Array   # global column indices
+    m: int = dataclasses.field(metadata=dict(static=True))
+    n: int = dataclasses.field(metadata=dict(static=True))
+    axis: str = dataclasses.field(metadata=dict(static=True))
+    #: true (unpadded) global row count — used for standard-error
+    #: finalization semantics (lsqr.f90:857-865)
+    global_m: int = dataclasses.field(metadata=dict(static=True))
+
+    @property
+    def dtype(self):
+        return self.vals.dtype
+
+    @property
+    def axis_name_m(self):  # consumed by the solver's norm_m
+        return self.axis
+
+    def matvec(self, x: jax.Array) -> jax.Array:
+        # x replicated -> local u rows; no communication.
+        return jax.ops.segment_sum(
+            self.vals * x[self.cols], self.rows, num_segments=self.m
+        )
+
+    def rmatvec(self, y: jax.Array) -> jax.Array:
+        # local partial A_local' y_local -> global reduce over the row axis.
+        partial_ = jax.ops.segment_sum(
+            self.vals * y[self.rows], self.cols, num_segments=self.n
+        )
+        return jax.lax.psum(partial_, self.axis)
+
+
+@dataclasses.dataclass(frozen=True)
+class ShardedCOO:
+    """Host-side row partition of a COO matrix, ready for shard_map.
+
+    Stacked per-device arrays with equal shapes:
+      vals/rows/cols: (ndev, nnz_max) — rows hold LOCAL indices;
+      m_pad: padded global row count (ndev * rows_per_dev);
+      row_starts: (ndev,) global row offset of each shard.
+    """
+
+    vals: jax.Array
+    rows: jax.Array
+    cols: jax.Array
+    m: int
+    n: int
+    m_pad: int
+    ndev: int
+
+    @property
+    def rows_per_dev(self) -> int:
+        return self.m_pad // self.ndev
+
+
+def shard_coo(A: COOOperator, ndev: int) -> ShardedCOO:
+    """Partition a COO operator into ``ndev`` contiguous row blocks with
+    equalized shapes (zero padding for ragged nnz)."""
+    rows = np.asarray(A.rows)
+    cols = np.asarray(A.cols)
+    vals = np.asarray(A.vals)
+    m, n = A.m, A.n
+
+    m_pad = -(-m // ndev) * ndev
+    rpd = m_pad // ndev
+    dev_of = rows // rpd
+
+    order = np.argsort(dev_of, kind="stable")
+    rows, cols, vals = rows[order], cols[order], vals[order]
+    dev_of = dev_of[order]
+    counts = np.bincount(dev_of, minlength=ndev)
+    nnz_max = int(counts.max()) if counts.size else 0
+    nnz_max = max(nnz_max, 1)
+
+    out_vals = np.zeros((ndev, nnz_max), vals.dtype)
+    out_rows = np.zeros((ndev, nnz_max), np.int32)
+    out_cols = np.zeros((ndev, nnz_max), np.int32)
+    start = 0
+    for d in range(ndev):
+        c = int(counts[d])
+        sl = slice(start, start + c)
+        out_vals[d, :c] = vals[sl]
+        out_rows[d, :c] = rows[sl] - d * rpd   # local row index
+        out_cols[d, :c] = cols[sl]
+        start += c
+
+    return ShardedCOO(
+        vals=jnp.asarray(out_vals),
+        rows=jnp.asarray(out_rows),
+        cols=jnp.asarray(out_cols),
+        m=m,
+        n=n,
+        m_pad=m_pad,
+        ndev=ndev,
+    )
+
+
+def lsqr_sharded(
+    A,
+    b,
+    damp: float = 0.0,
+    *,
+    mesh: Optional[Mesh] = None,
+    axis_name: str = "rows",
+    options: Optional[LSQROptions] = None,
+    **option_overrides,
+) -> LSQRResult:
+    """Row-partitioned distributed LSQR solve.
+
+    Args:
+      A: a COOOperator (partitioned here) or a pre-built ShardedCOO.
+      b: global right-hand side (m,).
+      mesh: 1-D device mesh; default spans all local devices.
+
+    Semantics are identical to :func:`lsqr_tpu.lsqr` — the sharded and
+    unsharded solvers produce the same iterates up to reduction-order
+    rounding (tested to near-machine precision on a CPU mesh).
+    """
+    opts = options or LSQROptions()
+    if option_overrides:
+        opts = opts.replace(**option_overrides)
+
+    mesh = mesh if mesh is not None else make_mesh(axis_name=axis_name)
+    ndev = mesh.shape[axis_name]
+
+    if isinstance(A, COOOperator):
+        sharded = shard_coo(A, ndev)
+    elif isinstance(A, ShardedCOO):
+        sharded = A
+        if sharded.ndev != ndev:
+            raise ValueError(
+                f"ShardedCOO was built for {sharded.ndev} devices, mesh has {ndev}"
+            )
+    else:
+        raise TypeError(
+            "lsqr_sharded expects a COOOperator or ShardedCOO; for custom "
+            "operators run lsqr() inside your own shard_map with an operator "
+            "whose axis_name_m names the row axis"
+        )
+
+    dtype = opts.dtype or jnp.result_type(jnp.asarray(b).dtype, sharded.vals.dtype)
+    if not jnp.issubdtype(dtype, jnp.floating):
+        from ..config import default_dtype
+
+        dtype = default_dtype()
+    b = jnp.asarray(b, dtype)
+    if b.shape != (sharded.m,):
+        raise ValueError(f"b must have shape ({sharded.m},), got {b.shape}")
+    b_pad = jnp.zeros((sharded.m_pad,), dtype).at[: sharded.m].set(b)
+    vals = sharded.vals.astype(dtype)
+
+    itnlim = opts.resolve_itnlim(sharded.n)
+    solver_kw = dict(
+        itnlim=itnlim,
+        wantse=opts.wantse,
+        nconv=opts.nconv,
+        record_trace=opts.record_trace,
+        safe_norms=opts.safe_norms,
+        debug_log=opts.debug_log,
+    )
+    rpd = sharded.m_pad // ndev
+    n = sharded.n
+
+    @partial(
+        jax.shard_map,
+        mesh=mesh,
+        in_specs=(P(axis_name), P(axis_name), P(axis_name), P(axis_name), P(), P(), P(), P()),
+        out_specs=P(),
+        check_vma=False,
+    )
+    def run(vals_s, rows_s, cols_s, b_local, damp_, atol_, btol_, conlim_):
+        op = _LocalRowShard(
+            vals=vals_s[0],
+            rows=rows_s[0],
+            cols=cols_s[0],
+            m=rpd,
+            n=n,
+            axis=axis_name,
+            global_m=sharded.m,
+        )
+        return _lsqr_impl(
+            op, b_local.reshape(-1), damp_, atol_, btol_, conlim_, **solver_kw
+        )
+
+    res = jax.jit(run)(
+        sharded.vals.astype(dtype),
+        sharded.rows,
+        sharded.cols,
+        b_pad,
+        jnp.asarray(damp, dtype),
+        jnp.asarray(opts.atol, dtype),
+        jnp.asarray(opts.btol, dtype),
+        jnp.asarray(opts.conlim, dtype),
+    )
+    return res

@@ -376,9 +376,14 @@ def _lsqr_impl(
     final = jax.lax.while_loop(cond_fun, body_fun, carry0)
 
     # --- standard-error finalization (lsqr.f90:857-865) -------------------
+    # Uses the GLOBAL problem shape: sharded operators expose global_m/global_n
+    # (their .m/.n are per-device shard shapes).
     se_out = None
     if wantse:
-        t_static = float(m - n) if m > n else 1.0
+        gm = int(getattr(A, "global_m", m))
+        gn = int(getattr(A, "global_n", n))
+        t_static = float(gm - gn) if gm > gn else 1.0
+        m = gm  # for the damped branch below
         t = jnp.where(damped, jnp.asarray(float(m), dtype), jnp.asarray(t_static, dtype))
         t = final.rnorm / jnp.sqrt(t)
         se_out = t * jnp.sqrt(final.se)

@@ -1,0 +1,81 @@
+"""Distributed-layer tests on 8 virtual CPU devices (conftest sets
+--xla_force_host_platform_device_count=8) — the multi-chip strategy from
+SURVEY.md §4: N-way row partitioning validated without a TPU pod, plus
+sharded-vs-unsharded equivalence checks.
+
+The reference has no distributed tests (serial Fortran); these cover the
+new capability."""
+
+import jax
+import numpy as np
+import pytest
+
+import lsqr_tpu as lt
+from lsqr_tpu.parallel.sharding import lsqr_sharded, make_mesh, shard_coo
+
+
+def _random_coo(rng, m, n, nnz, dtype=np.float64):
+    rows = rng.integers(0, m, nnz)
+    cols = rng.integers(0, n, nnz)
+    vals = rng.standard_normal(nnz).astype(dtype)
+    return lt.coo_operator(m, n, vals, rows, cols)
+
+
+@pytest.mark.parametrize("ndev", [2, 8])
+@pytest.mark.parametrize("shape", [(200, 120), (120, 120), (97, 211)])
+def test_sharded_matches_unsharded(rng, ndev, shape):
+    m, n = shape
+    A = _random_coo(rng, m, n, 5 * m)
+    b = rng.standard_normal(m)
+    damp = 0.05
+
+    ref = lt.lsqr(A, b, damp, atol=1e-10, btol=1e-10, itnlim=400)
+    mesh = make_mesh(ndev)
+    res = lsqr_sharded(A, b, damp, mesh=mesh, atol=1e-10, btol=1e-10, itnlim=400)
+
+    assert int(res.istop) == int(ref.istop)
+    # equal up to reduction-order rounding; near the tight tolerance the
+    # stopping iteration can shift by one, so allow a small multiple of the
+    # solve tolerance amplified by the conditioning
+    np.testing.assert_allclose(np.asarray(res.x), np.asarray(ref.x), atol=1e-7)
+    assert abs(int(res.itn) - int(ref.itn)) <= 3
+    np.testing.assert_allclose(float(res.rnorm), float(ref.rnorm), rtol=1e-6)
+    # anorm is a running per-iteration estimate; a +-1 shift in the stopping
+    # iteration moves it slightly
+    np.testing.assert_allclose(float(res.anorm), float(ref.anorm), rtol=1e-2)
+
+
+def test_shard_coo_partition_roundtrip(rng):
+    """The row partition preserves every nonzero exactly once."""
+    m, n, nnz = 100, 60, 500
+    A = _random_coo(rng, m, n, nnz)
+    sh = shard_coo(A, 8)
+    dense = np.zeros((sh.m_pad, n))
+    rpd = sh.rows_per_dev
+    for d in range(8):
+        np.add.at(
+            dense,
+            (np.asarray(sh.rows[d]) + d * rpd, np.asarray(sh.cols[d])),
+            np.asarray(sh.vals[d]),
+        )
+    np.testing.assert_allclose(dense[:m], np.asarray(A.todense()), rtol=1e-15)
+    assert not dense[m:].any()
+
+
+def test_sharded_wantse_and_damped(rng):
+    m, n = 160, 80
+    A = _random_coo(rng, m, n, 800)
+    b = rng.standard_normal(m)
+    ref = lt.lsqr(A, b, 0.2, wantse=True, atol=1e-9, btol=1e-9, itnlim=300)
+    res = lsqr_sharded(A, b, 0.2, mesh=make_mesh(8), wantse=True,
+                       atol=1e-9, btol=1e-9, itnlim=300)
+    assert int(res.istop) == 3
+    # se accumulates over iterations; a small shift in the stopping
+    # iteration perturbs it slightly
+    np.testing.assert_allclose(np.asarray(res.se), np.asarray(ref.se), rtol=1e-2)
+
+
+def test_sharded_rejects_bad_b(rng):
+    A = _random_coo(rng, 64, 32, 200)
+    with pytest.raises(ValueError):
+        lsqr_sharded(A, np.zeros(63), mesh=make_mesh(4))
