@@ -12,7 +12,7 @@ from typing import NamedTuple
 import jax
 import jax.numpy as jnp
 
-from .config import eps_for
+from .config import default_dtype, eps_for
 from .ops.blas import nrm2
 from .ops.linop import LinearOperator, as_operator
 
@@ -41,7 +41,7 @@ def acheck(A, *, m=None, n=None, eps=None, power: float = 0.5) -> ACheckResult:
     (lsqr.f90:927-934)."""
     A = as_operator(A, m=m, n=n)
     m, n = A.shape
-    dtype = getattr(A, "dtype", None) or jnp.float32
+    dtype = getattr(A, "dtype", None) or default_dtype()
     eps = eps if eps is not None else eps_for(dtype)
     tol = float(eps) ** power
 
