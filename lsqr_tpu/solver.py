@@ -122,7 +122,7 @@ def _debug_line(itn, x0, rnorm, test1, test2, anorm, acond, phi, dknorm, dxk, al
     )
 
 
-def _lsqr_impl(
+def _build(
     A: LinearOperator,
     b: jax.Array,
     damp: jax.Array,
@@ -136,7 +136,12 @@ def _lsqr_impl(
     record_trace: bool,
     safe_norms: bool,
     debug_log: bool,
-) -> LSQRResult:
+):
+    """Construct the solver pieces: (carry0, cond_fun, body_fun, finalize).
+
+    Shared by the one-shot solve (:func:`lsqr`) and the segmented
+    checkpoint/resume runner (:mod:`lsqr_tpu.utils.checkpoint`) so both run
+    the identical iteration."""
     m, n = A.shape
     dtype = b.dtype
     zero = jnp.zeros((), dtype)
@@ -373,41 +378,61 @@ def _lsqr_impl(
             acond=acond, rnorm=rnorm, arnorm=arnorm, trace=trace,
         )
 
+    def finalize(final: _Carry) -> LSQRResult:
+        # --- standard-error finalization (lsqr.f90:857-865) ---------------
+        # Uses the GLOBAL problem shape: sharded operators expose
+        # global_m/global_n (their .m/.n are per-device shard shapes).
+        se_out = None
+        if wantse:
+            gm = int(getattr(A, "global_m", m))
+            gn = int(getattr(A, "global_n", n))
+            t_static = float(gm - gn) if gm > gn else 1.0
+            t = jnp.where(
+                damped,
+                jnp.asarray(float(gm), dtype),
+                jnp.asarray(t_static, dtype),
+            )
+            t = final.rnorm / jnp.sqrt(t)
+            se_out = t * jnp.sqrt(final.se)
+
+        # damped istop 2 -> 3 reclassification (lsqr.f90:871)
+        istop = jnp.where(
+            jnp.logical_and(damped, final.istop == 2), 3, final.istop
+        )
+
+        return LSQRResult(
+            x=final.x,
+            istop=istop,
+            itn=final.itn,
+            anorm=final.anorm,
+            acond=final.acond,
+            rnorm=final.rnorm,
+            arnorm=final.arnorm,
+            xnorm=final.xnorm,
+            bnorm=bnorm,
+            se=se_out,
+            dxmax=final.dxmax,
+            maxdx=final.maxdx,
+            trace=final.trace if record_trace else None,
+        )
+
+    return carry0, cond_fun, body_fun, finalize
+
+
+def _lsqr_impl(
+    A: LinearOperator,
+    b: jax.Array,
+    damp: jax.Array,
+    atol: jax.Array,
+    btol: jax.Array,
+    conlim: jax.Array,
+    **static_opts,
+) -> LSQRResult:
+    carry0, cond_fun, body_fun, finalize = _build(
+        A, b, damp, atol, btol, conlim, **static_opts
+    )
     final = jax.lax.while_loop(cond_fun, body_fun, carry0)
-
-    # --- standard-error finalization (lsqr.f90:857-865) -------------------
-    # Uses the GLOBAL problem shape: sharded operators expose global_m/global_n
-    # (their .m/.n are per-device shard shapes).
-    se_out = None
-    if wantse:
-        gm = int(getattr(A, "global_m", m))
-        gn = int(getattr(A, "global_n", n))
-        t_static = float(gm - gn) if gm > gn else 1.0
-        m = gm  # for the damped branch below
-        t = jnp.where(damped, jnp.asarray(float(m), dtype), jnp.asarray(t_static, dtype))
-        t = final.rnorm / jnp.sqrt(t)
-        se_out = t * jnp.sqrt(final.se)
-
-    # damped istop 2 -> 3 reclassification (lsqr.f90:871)
-    istop = jnp.where(
-        jnp.logical_and(damped, final.istop == 2), 3, final.istop
-    )
-
-    return LSQRResult(
-        x=final.x,
-        istop=istop,
-        itn=final.itn,
-        anorm=final.anorm,
-        acond=final.acond,
-        rnorm=final.rnorm,
-        arnorm=final.arnorm,
-        xnorm=final.xnorm,
-        bnorm=bnorm,
-        se=se_out,
-        dxmax=final.dxmax,
-        maxdx=final.maxdx,
-        trace=final.trace if record_trace else None,
-    )
+    return finalize(final)
 
 
 _lsqr_jit = jax.jit(

@@ -1,0 +1,156 @@
+"""Segmented solves with checkpoint/resume.
+
+The reference has NO checkpointing (SURVEY.md §5) — its docstring only
+documents the x0 warm-start recipe (lsqr.f90:303-320), which :func:`lsqr`
+already exposes. For long pod runs the TPU build adds real carry-state
+checkpointing: the entire solver state is the while_loop carry (~10 scalars
+plus the u, v, w, x, se vectors), so a solve can be cut into fixed-size
+segments with the state saved to disk between them and resumed later — on a
+different host if need be.
+
+Semantics are bit-identical to the one-shot solve: segments run the SAME
+body function (lsqr_tpu.solver._build) and the stopping tests are evaluated
+inside the loop exactly as before; the segment boundary only adds an upper
+bound on iterations per jit call.
+"""
+
+from __future__ import annotations
+
+import dataclasses
+from functools import partial
+from typing import Callable, Optional
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from ..config import LSQROptions
+from ..ops.linop import as_operator
+from ..solver import LSQRResult, _Carry, _build
+
+__all__ = ["lsqr_checkpointed", "save_state", "load_state"]
+
+
+@partial(
+    jax.jit,
+    static_argnames=(
+        "itnlim", "wantse", "nconv", "record_trace", "safe_norms", "debug_log"
+    ),
+)
+def _segment(A, b, damp, atol, btol, conlim, carry, stop_at, **static_opts):
+    carry0, cond_fun, body_fun, _ = _build(
+        A, b, damp, atol, btol, conlim, **static_opts
+    )
+    carry = carry if carry is not None else carry0
+
+    def bounded_cond(c):
+        return jnp.logical_and(cond_fun(c), c.itn < stop_at)
+
+    return jax.lax.while_loop(bounded_cond, body_fun, carry)
+
+
+@partial(
+    jax.jit,
+    static_argnames=(
+        "itnlim", "wantse", "nconv", "record_trace", "safe_norms", "debug_log"
+    ),
+)
+def _finalize(A, b, damp, atol, btol, conlim, carry, **static_opts):
+    _, _, _, finalize = _build(A, b, damp, atol, btol, conlim, **static_opts)
+    return finalize(carry)
+
+
+def save_state(path: str, carry: _Carry) -> None:
+    """Serialize a solver carry to an .npz file."""
+    np.savez(path, **{f: np.asarray(getattr(carry, f)) for f in carry._fields})
+
+
+def load_state(path: str, dtype=None) -> _Carry:
+    """Load a solver carry saved by :func:`save_state`."""
+    data = np.load(path)
+    kw = {}
+    for f in _Carry._fields:
+        arr = jnp.asarray(data[f])
+        if dtype is not None and jnp.issubdtype(arr.dtype, jnp.floating):
+            arr = arr.astype(dtype)
+        kw[f] = arr
+    return _Carry(**kw)
+
+
+def lsqr_checkpointed(
+    A,
+    b,
+    damp: float = 0.0,
+    *,
+    segment_iters: int = 100,
+    checkpoint_path: Optional[str] = None,
+    resume_from: Optional[str] = None,
+    on_segment: Optional[Callable[[int, _Carry], None]] = None,
+    options: Optional[LSQROptions] = None,
+    m: Optional[int] = None,
+    n: Optional[int] = None,
+    **option_overrides,
+) -> LSQRResult:
+    """Solve like :func:`lsqr_tpu.lsqr`, but in segments of
+    ``segment_iters`` iterations, optionally persisting the carry after each
+    segment and/or resuming from a saved carry.
+
+    Args:
+      segment_iters: iterations per jit call (one device roundtrip each).
+      checkpoint_path: if given, the carry is written there (npz) after
+        every segment.
+      resume_from: path of a previously saved carry to resume.
+      on_segment: callback (segment_index, carry) after each segment.
+    """
+    opts = options or LSQROptions()
+    if option_overrides:
+        opts = opts.replace(**option_overrides)
+
+    A = as_operator(A, m=m, n=n)
+    b = jnp.asarray(b)
+    dtype = opts.dtype or (
+        b.dtype if jnp.issubdtype(b.dtype, jnp.floating) else None
+    )
+    if dtype is None:
+        from ..config import default_dtype
+
+        dtype = default_dtype()
+    b = b.astype(dtype)
+
+    itnlim = opts.resolve_itnlim(A.n)
+    static_opts = dict(
+        itnlim=itnlim,
+        wantse=opts.wantse,
+        nconv=opts.nconv,
+        record_trace=opts.record_trace,
+        safe_norms=opts.safe_norms,
+        debug_log=opts.debug_log,
+    )
+    args = (
+        A,
+        b,
+        jnp.asarray(damp, dtype),
+        jnp.asarray(opts.atol, dtype),
+        jnp.asarray(opts.btol, dtype),
+        jnp.asarray(opts.conlim, dtype),
+    )
+
+    carry = load_state(resume_from, dtype=dtype) if resume_from else None
+    seg = 0
+    while True:
+        start = int(carry.itn) if carry is not None else 0
+        stop_at = min(start + segment_iters, itnlim)
+        carry = _segment(*args, carry, jnp.asarray(stop_at, jnp.int32), **static_opts)
+        seg += 1
+        if checkpoint_path:
+            save_state(checkpoint_path, jax.device_get(carry))
+        if on_segment is not None:
+            on_segment(seg, carry)
+        # stopped for real (istop set) or iteration budget exhausted
+        if int(carry.istop) != 0 or int(carry.itn) >= itnlim:
+            break
+        # degenerate setup (arnorm0 == 0): the loop never runs
+        if int(carry.itn) == start:
+            break
+
+    return _finalize(*args, carry, **static_opts)

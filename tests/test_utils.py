@@ -1,0 +1,101 @@
+"""Tests for auxiliary subsystems: checkpoint/resume segmented solves and
+the LIS-style report formatting (SURVEY.md §5)."""
+
+import numpy as np
+import pytest
+
+import lsqr_tpu as lt
+from lsqr_tpu.utils.checkpoint import (
+    load_state,
+    lsqr_checkpointed,
+    save_state,
+)
+from lsqr_tpu.utils.printing import format_exit_block, format_report
+
+
+def _problem(rng, m=120, n=80, nnz=600):
+    rows = rng.integers(0, m, nnz)
+    cols = rng.integers(0, n, nnz)
+    vals = rng.standard_normal(nnz)
+    A = lt.coo_operator(m, n, vals, rows, cols)
+    b = rng.standard_normal(m)
+    return A, b
+
+
+def test_segmented_matches_oneshot(rng):
+    A, b = _problem(rng)
+    ref = lt.lsqr(A, b, 0.1, atol=1e-10, btol=1e-10, itnlim=300)
+    res = lsqr_checkpointed(
+        A, b, 0.1, segment_iters=7, atol=1e-10, btol=1e-10, itnlim=300
+    )
+    assert int(res.istop) == int(ref.istop)
+    assert int(res.itn) == int(ref.itn)
+    np.testing.assert_array_equal(np.asarray(res.x), np.asarray(ref.x))
+    np.testing.assert_allclose(float(res.rnorm), float(ref.rnorm), rtol=0)
+
+
+def test_checkpoint_save_resume(rng, tmp_path):
+    A, b = _problem(rng)
+    ref = lt.lsqr(A, b, 0.05, atol=1e-10, btol=1e-10, itnlim=300)
+
+    # run only the first 3 segments, checkpointing each
+    ckpt = str(tmp_path / "state.npz")
+    seen = []
+
+    def stop_early(seg, carry):
+        seen.append(int(carry.itn))
+        if seg >= 3:
+            raise KeyboardInterrupt  # simulate preemption
+
+    with pytest.raises(KeyboardInterrupt):
+        lsqr_checkpointed(
+            A, b, 0.05, segment_iters=5, checkpoint_path=ckpt,
+            on_segment=stop_early, atol=1e-10, btol=1e-10, itnlim=300,
+        )
+    assert seen == [5, 10, 15]
+
+    # resume from disk and finish: identical to the uninterrupted solve
+    res = lsqr_checkpointed(
+        A, b, 0.05, segment_iters=50, resume_from=ckpt,
+        atol=1e-10, btol=1e-10, itnlim=300,
+    )
+    assert int(res.itn) == int(ref.itn)
+    np.testing.assert_array_equal(np.asarray(res.x), np.asarray(ref.x))
+
+
+def test_state_roundtrip(rng, tmp_path):
+    from lsqr_tpu.solver import _Carry
+    from lsqr_tpu.utils.checkpoint import _segment  # noqa: F401
+
+    A, b = _problem(rng)
+    res = lsqr_checkpointed(
+        A, b, 0.0, segment_iters=4,
+        checkpoint_path=str(tmp_path / "s.npz"), itnlim=8,
+    )
+    carry = load_state(str(tmp_path / "s.npz"))
+    assert isinstance(carry, _Carry)
+    assert int(carry.itn) == 8 or int(carry.istop) != 0
+
+
+def test_zero_rhs_segmented(rng):
+    A, _ = _problem(rng)
+    res = lsqr_checkpointed(A, np.zeros(A.m), 0.0, segment_iters=10, itnlim=50)
+    assert int(res.istop) == 0
+    assert int(res.itn) == 0
+
+
+def test_report_formatting(rng):
+    A, b = _problem(rng)
+    res = lt.lsqr(A, b, 0.1, record_trace=True, atol=1e-8, btol=1e-8, itnlim=200)
+    report = format_report(res, n=A.n, itnlim=200, damped=True)
+    assert "Itn" in report and "Norm Abar" in report
+    assert "Exit  LSQR" in report
+    assert "damped least-squares solution" in report
+    # exit block alone works without a trace
+    res2 = lt.lsqr(A, b, 0.0, itnlim=200)
+    block = format_exit_block(res2)
+    assert "istop" in block
+    with pytest.raises(ValueError):
+        from lsqr_tpu.utils.printing import format_iteration_log
+
+        format_iteration_log(res2)
