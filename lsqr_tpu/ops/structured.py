@@ -203,28 +203,18 @@ class ELLOperator(LinearOperator):
         return dense.at[rows, self.cols.reshape(-1)].add(self.vals.reshape(-1))
 
 
-def _pack_ell(rows: np.ndarray, cols: np.ndarray, vals: np.ndarray, m: int):
-    """Pack COO triplets into ELL (m, k) arrays; returns (vals2d, cols2d)."""
-    order = np.argsort(rows, kind="stable")
-    rows, cols, vals = rows[order], cols[order], vals[order]
-    counts = np.bincount(rows, minlength=m)
-    k = max(int(counts.max()) if counts.size else 0, 1)
-    out_vals = np.zeros((m, k), vals.dtype)
-    out_cols = np.zeros((m, k), np.int32)
-    pos = np.concatenate([[0], np.cumsum(counts)])
-    within = np.arange(len(rows)) - pos[rows]
-    out_vals[rows, within] = vals
-    out_cols[rows, within] = cols
-    return out_vals, out_cols
-
-
 def ell_operator(m, n, vals, rows, cols, *, dtype=None) -> ELLOperator:
-    """Build an ELLOperator (plus its transpose packing) from COO triplets."""
+    """Build an ELLOperator (plus its transpose packing) from COO triplets.
+
+    Packing runs in the native C++ runtime (lsqr_tpu.native) when available,
+    with a vectorized numpy fallback."""
+    from .. import native
+
     vals = np.asarray(vals, dtype=dtype if dtype else None)
     rows = np.asarray(rows)
     cols = np.asarray(cols)
-    fv, fc = _pack_ell(rows, cols, vals, m)
-    tv, tr = _pack_ell(cols, rows, vals, n)
+    fv, fc = native.ell_pack(rows, cols, vals, m)
+    tv, tr = native.ell_pack(cols, rows, vals, n)
     return ELLOperator(
         vals=jnp.asarray(fv),
         cols=jnp.asarray(fc),
@@ -330,42 +320,17 @@ def block_ell_operator(
     dense (bh, bw) blocks. Efficient when the sparsity pattern is blocky
     (banded, block-structured); a uniformly random pattern will densify.
     """
+    from .. import native
+
     bh, bw = block
     vals = np.asarray(vals, dtype=dtype if dtype else None)
     rows = np.asarray(rows)
     cols = np.asarray(cols)
     mb = -(-m // bh)
     nb = -(-n // bw)
-
-    def pack(rows_, cols_, vals_, nblk_rows, blk_h, blk_w):
-        br = rows_ // blk_h
-        bc = cols_ // blk_w
-        # unique block ids per block-row
-        ids = br.astype(np.int64) * nb_all + bc
-        uniq, inv = np.unique(ids, return_inverse=True)
-        ubr = (uniq // nb_all).astype(np.int64)
-        ubc = (uniq % nb_all).astype(np.int64)
-        counts = np.bincount(ubr, minlength=nblk_rows)
-        kb = max(int(counts.max()) if counts.size else 0, 1)
-        blocks = np.zeros((nblk_rows, kb, blk_h, blk_w), vals_.dtype)
-        bcols_arr = np.zeros((nblk_rows, kb), np.int32)
-        slot_of = np.zeros(len(uniq), np.int64)
-        next_slot = np.zeros(nblk_rows, np.int64)
-        for u in range(len(uniq)):
-            r = ubr[u]
-            slot_of[u] = next_slot[r]
-            bcols_arr[r, next_slot[r]] = ubc[u]
-            next_slot[r] += 1
-        np.add.at(
-            blocks,
-            (ubr[inv], slot_of[inv], rows_ - br * blk_h, cols_ - bc * blk_w),
-            vals_,
-        )
-        return blocks, bcols_arr
-
     nb_all = max(nb, mb)
-    fb, fc = pack(rows, cols, vals, mb, bh, bw)
-    tb, tr = pack(cols, rows, vals, nb, bw, bh)
+    fb, fc = native.block_pack(rows, cols, vals, mb, bh, bw, nb_all)
+    tb, tr = native.block_pack(cols, rows, vals, nb, bw, bh, nb_all)
     return BlockELLOperator(
         blocks=jnp.asarray(fb),
         bcols=jnp.asarray(fc),
