@@ -1,0 +1,108 @@
+"""Interop constructors: build lsqr_tpu operators from scipy.sparse
+matrices, CSR triples, or dense arrays, picking a TPU-appropriate storage
+format.
+
+The reference accepts only a COO triple (lsqr.f90:91-127); production users
+usually hold scipy CSR/CSC/COO — these helpers bridge that world and choose
+between the TPU formats:
+
+* DIA      — if the pattern is banded (few distinct diagonals)
+* BlockELL — if the pattern is blocky at 128x128 (dense-block fill high)
+* ELL      — general fallback (gather-only products)
+"""
+
+from __future__ import annotations
+
+from typing import Optional
+
+import numpy as np
+
+from .coo import COOOperator, coo_operator
+from .linop import LinearOperator
+from .structured import block_ell_operator, dia_operator, ell_operator
+
+__all__ = ["from_scipy", "csr_operator", "auto_operator"]
+
+
+def csr_operator(m, n, indptr, indices, data, *, dtype=None, format="ell"):
+    """Build an operator from CSR arrays (the format most sparse pipelines
+    hold). The CSR is expanded to COO triplets and packed into the requested
+    TPU storage format ('ell', 'coo', or 'block')."""
+    indptr = np.asarray(indptr)
+    indices = np.asarray(indices)
+    data = np.asarray(data, dtype=dtype if dtype else None)
+    rows = np.repeat(np.arange(m, dtype=np.int32), np.diff(indptr))
+    if format == "ell":
+        return ell_operator(m, n, data, rows, indices, dtype=dtype)
+    if format == "coo":
+        return coo_operator(m, n, data, rows, indices, dtype=dtype)
+    if format == "block":
+        return block_ell_operator(m, n, data, rows, indices, dtype=dtype)
+    raise ValueError(f"unknown format {format!r}")
+
+
+def from_scipy(sp_matrix, *, dtype=None, format: Optional[str] = None) -> LinearOperator:
+    """Convert a scipy.sparse matrix (any format) to an lsqr_tpu operator.
+
+    format: 'dia' | 'ell' | 'coo' | 'block' | None (auto-detect).
+    """
+    import scipy.sparse
+
+    if not scipy.sparse.issparse(sp_matrix):
+        raise TypeError("from_scipy expects a scipy.sparse matrix")
+    coo = sp_matrix.tocoo()
+    coo.sum_duplicates()
+    m, n = coo.shape
+    if format is None:
+        return auto_operator(
+            m, n, coo.data, coo.row, coo.col, dtype=dtype
+        )
+    if format == "dia":
+        dia = sp_matrix.todia()
+        # scipy DIA stores data[j, c] indexed by COLUMN; lsqr_tpu DIA stripes
+        # are ROW-aligned: data[j, i] = A[i, i + k] = scipy_data[j, i + k].
+        offsets = tuple(int(k) for k in dia.offsets)
+        stripes = np.zeros((len(offsets), m), dia.data.dtype)
+        for j, k in enumerate(offsets):
+            i_lo, i_hi = max(0, -k), min(m, n - k)
+            if i_hi > i_lo:
+                stripes[j, i_lo:i_hi] = dia.data[j, i_lo + k : i_hi + k]
+        return dia_operator(m, n, offsets, stripes, dtype=dtype)
+    if format in ("ell", "coo", "block"):
+        builder = {
+            "ell": ell_operator,
+            "coo": coo_operator,
+            "block": block_ell_operator,
+        }[format]
+        return builder(m, n, coo.data, coo.row, coo.col, dtype=dtype)
+    raise ValueError(f"unknown format {format!r}")
+
+
+def auto_operator(m, n, vals, rows, cols, *, dtype=None) -> LinearOperator:
+    """Pick a TPU storage format from the sparsity pattern:
+
+    1. few distinct diagonals covering all nnz        -> DIA
+    2. blocky at (128, 128) (fill ratio <= 4x nnz)    -> BlockELL
+    3. otherwise                                      -> ELL
+    """
+    rows_np = np.asarray(rows)
+    cols_np = np.asarray(cols)
+    vals_np = np.asarray(vals, dtype=dtype if dtype else None)
+    nnz = len(vals_np)
+    if nnz == 0:
+        return coo_operator(m, n, vals_np, rows_np, cols_np, dtype=dtype)
+
+    diags = np.unique(cols_np.astype(np.int64) - rows_np)
+    # DIA stores len(diags) * m values; accept modest padding
+    if len(diags) * m <= 4 * nnz and len(diags) <= 1024:
+        stripes = np.zeros((len(diags), m), vals_np.dtype)
+        idx = np.searchsorted(diags, cols_np.astype(np.int64) - rows_np)
+        np.add.at(stripes, (idx, rows_np), vals_np)
+        return dia_operator(m, n, tuple(int(k) for k in diags), stripes, dtype=dtype)
+
+    try:
+        return block_ell_operator(
+            m, n, vals_np, rows_np, cols_np, block=(128, 128), dtype=dtype
+        )
+    except ValueError:
+        return ell_operator(m, n, vals_np, rows_np, cols_np, dtype=dtype)
