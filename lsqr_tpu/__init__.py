@@ -25,6 +25,23 @@ from .config import LSQROptions, default_dtype, enable_x64
 from .diagnostics import ACheckResult, XCheckResult, acheck, xcheck
 from .ops.coo import COOOperator, coo_operator
 from .ops.linop import CallbackOperator, DenseOperator, LinearOperator, as_operator
+from .batch import lsqr_batch
+from .ops.interop import auto_operator, csr_operator, from_scipy
+from .ops.precondition import (
+    ColumnScaledOperator,
+    ComposedOperator,
+    column_norms,
+    column_scaled,
+    right_preconditioned,
+)
+from .ops.structured import (
+    BlockELLOperator,
+    DIAOperator,
+    ELLOperator,
+    block_ell_operator,
+    dia_operator,
+    ell_operator,
+)
 from .solver import ISTOP_MESSAGES, LSQRResult, lsqr
 
 __version__ = "0.1.0"
@@ -47,4 +64,19 @@ __all__ = [
     "as_operator",
     "default_dtype",
     "enable_x64",
+    "lsqr_batch",
+    "from_scipy",
+    "csr_operator",
+    "auto_operator",
+    "DIAOperator",
+    "ELLOperator",
+    "BlockELLOperator",
+    "dia_operator",
+    "ell_operator",
+    "block_ell_operator",
+    "ComposedOperator",
+    "ColumnScaledOperator",
+    "column_norms",
+    "column_scaled",
+    "right_preconditioned",
 ]
