@@ -104,20 +104,55 @@ def block_ell_matvec(blocks, bcols, x, *, interpret=False):
 # ---------------------------------------------------------------------------
 
 
-def _dia_kernel(offsets, lo, tm, win, data_ref, x_ref, out_ref):
+def _dia_kernel(offsets, lo, tm, win, data_ref, x_hbm, out_ref, xw0_ref, xw1_ref, sem):
     """One grid step = one row tile of tm rows.
 
-    data_ref: (ndiag, tm) stripe tile in VMEM.
-    x_ref:    full padded x in VMEM (shared across tiles).
+    data_ref: (ndiag, tm) stripe tile in VMEM (auto-pipelined).
+    x_hbm:    full padded x left in HBM; the per-tile window (win,) is
+              DMA'd into the xw_ref VMEM scratch — x never needs to fit in
+              VMEM, so m is unbounded.
     out_ref:  (tm,).
 
-    The x window for the tile is loaded ONCE with an aligned dynamic start
-    (t*tm is a vreg multiple); per-diagonal shifts are static value-level
-    slices, which Mosaic lowers to lane shifts — no per-diagonal HBM reads.
+    The window load has an aligned dynamic start (t*tm is a vreg multiple);
+    per-diagonal shifts are static value-level slices, which Mosaic lowers
+    to lane shifts — one HBM read of x per tile, not per diagonal.
     """
     t = pl.program_id(0)
-    base = t * tm
-    xw = x_ref[pl.ds(base, win)]
+    nt = pl.num_programs(0)
+    bufs = (xw0_ref, xw1_ref)
+
+    def window_dma(slot, tile):
+        return pltpu.make_async_copy(
+            x_hbm.at[pl.ds(tile * tm, win)], bufs[slot], sem.at[slot]
+        )
+
+    # double-buffered window prefetch: warm up on the first tile, then each
+    # step kicks off tile t+1's window before computing on tile t's.
+    @pl.when(t == 0)
+    def _():
+        window_dma(0, 0).start()
+
+    even = t % 2 == 0
+
+    @pl.when((t + 1 < nt) & even)
+    def _():
+        window_dma(1, t + 1).start()
+
+    @pl.when((t + 1 < nt) & jnp.logical_not(even))
+    def _():
+        window_dma(0, t + 1).start()
+
+    @pl.when(even)
+    def _():
+        window_dma(0, t).wait()
+
+    @pl.when(jnp.logical_not(even))
+    def _():
+        window_dma(1, t).wait()
+
+    # the unselected buffer may be mid-DMA; its values are discarded by the
+    # select, so the read is benign.
+    xw = jnp.where(even, xw0_ref[:], xw1_ref[:])
     acc = jnp.zeros((tm,), jnp.float32)
     for d, k in enumerate(offsets):
         # row i reads xp[lo + i + k]; within the window that is the static
@@ -137,27 +172,36 @@ def dia_matvec(data, x, *, offsets, m, n, interpret=False, tm=None):
     ks = tuple(offsets)
     kmin, kmax = min(ks), max(ks)
     if tm is None:
-        tm = 8192 if m >= 8192 else (1024 if m >= 1024 else max(8, m))
-    m_pad = -(-m // tm) * tm
+        if m >= 4_000_000:
+            tm = 32768
+        elif m >= 8192:
+            tm = 8192
+        else:
+            tm = 1024 if m >= 1024 else max(8, m)
+    nt = -(-m // tm)          # ragged last tile handled by pallas masking
     lo = max(0, -kmin)
     # per-tile window covers every diagonal's static shift
     win = -(-(lo + kmax + tm) // 1024) * 1024
-    # padded x must cover the last tile's window [m_pad - tm, m_pad - tm + win)
-    xp_len = max(lo + n, m_pad - tm + win)
+    # padded x must cover the last tile's window [(nt-1)*tm, (nt-1)*tm + win)
+    xp_len = max(lo + n, (nt - 1) * tm + win)
     xp_len = -(-xp_len // 1024) * 1024
     xp = jnp.zeros((xp_len,), x.dtype).at[lo : lo + n].set(x)
-    dpad = jnp.zeros((len(ks), m_pad), data.dtype).at[:, :m].set(data)
 
     kernel = functools.partial(_dia_kernel, ks, lo, tm, win)
     out = pl.pallas_call(
         kernel,
-        grid=(m_pad // tm,),
+        grid=(nt,),
         in_specs=[
             pl.BlockSpec((len(ks), tm), lambda t: (0, t), memory_space=pltpu.VMEM),
-            pl.BlockSpec(memory_space=pltpu.VMEM),
+            pl.BlockSpec(memory_space=pltpu.ANY),  # x stays in HBM, DMA'd per tile
         ],
         out_specs=pl.BlockSpec((tm,), lambda t: (t,), memory_space=pltpu.VMEM),
-        out_shape=jax.ShapeDtypeStruct((m_pad,), data.dtype),
+        out_shape=jax.ShapeDtypeStruct((m,), data.dtype),
+        scratch_shapes=[
+            pltpu.VMEM((win,), data.dtype),
+            pltpu.VMEM((win,), data.dtype),
+            pltpu.SemaphoreType.DMA((2,)),
+        ],
         interpret=interpret,
-    )(dpad, xp)
-    return out[:m]
+    )(data, xp)
+    return out

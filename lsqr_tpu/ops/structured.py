@@ -63,7 +63,9 @@ class DIAOperator(LinearOperator):
     m: int = dataclasses.field(metadata=dict(static=True))
     n: int = dataclasses.field(metadata=dict(static=True))
     offsets: tuple = dataclasses.field(metadata=dict(static=True))  # (ndiag,)
-    use_pallas: bool = dataclasses.field(default=False, metadata=dict(static=True))
+    #: None = auto (Pallas on TPU for m >= 2M, where the kernel beats the
+    #: XLA fused path by ~5x; XLA below, where call overhead dominates)
+    use_pallas: object = dataclasses.field(default=None, metadata=dict(static=True))
 
     @property
     def dtype(self):
@@ -78,8 +80,13 @@ class DIAOperator(LinearOperator):
     def toffsets(self) -> tuple:
         return tuple(-k for k in self.offsets)
 
+    def _pallas_selected(self, dim: int) -> bool:
+        if self.use_pallas is None:
+            return dim >= 2_000_000 and jax.default_backend() == "tpu"
+        return bool(self.use_pallas)
+
     def matvec(self, x: jax.Array) -> jax.Array:
-        if self.use_pallas:
+        if self._pallas_selected(self.m):
             from .pallas_spmv import dia_matvec
 
             return dia_matvec(
@@ -92,7 +99,7 @@ class DIAOperator(LinearOperator):
         # (precomputed as tdata) — SpMV-T is just another streaming SpMV;
         # no scatters (contrast the reference's column-scatter transpose,
         # lsqr.f90:188-192).
-        if self.use_pallas:
+        if self._pallas_selected(self.n):
             from .pallas_spmv import dia_matvec
 
             return dia_matvec(
@@ -126,7 +133,7 @@ def _dia_matvec_xla(data, x, offsets, m, n):
 
 
 def dia_operator(
-    m, n, offsets: Sequence[int], data, *, dtype=None, use_pallas=False
+    m, n, offsets: Sequence[int], data, *, dtype=None, use_pallas=None
 ) -> DIAOperator:
     """Build a DIAOperator. ``data`` has shape (len(offsets), m) with
     ``data[j, i] = A[i, i + offsets[j]]``; out-of-matrix entries must be 0
