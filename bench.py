@@ -7,13 +7,14 @@ throughput numbers of its own, SURVEY.md §6).
 Prints ONE JSON line:
   {"metric": ..., "value": N, "unit": "Gnnz/s", "vs_baseline": N}
 
-Matrix: banded, ~11M nnz (the BASELINE.json "large synthetic banded" config),
-f32, DIA storage on TPU vs scipy CSR on the host CPU.
+Matrix: banded (11 diagonals), m = n = 8M => 88M nnz, f32, DIA storage on
+TPU (Pallas double-buffered streaming kernel) vs scipy CSR on the host CPU.
 
-Methodology note: timing uses K data-dependent product pairs chained inside
-one jit plus a host fetch — plain block_until_ready does not synchronize
-through the axon relay and per-call dispatch would otherwise pollute the
-numbers.
+Methodology notes (see BENCHMARKS.md):
+- data is generated ON DEVICE (host->device bulk transfer is slow through
+  the axon relay);
+- timing chains K data-dependent product pairs inside one jit and fetches a
+  scalar (block_until_ready does not synchronize through the relay).
 """
 
 from __future__ import annotations
@@ -24,73 +25,70 @@ import time
 
 import numpy as np
 
-
-def _build_problem(m=1_000_000, ndiag=11, dtype=np.float32, seed=0):
-    rng = np.random.default_rng(seed)
-    offsets = tuple(range(-(ndiag // 2), ndiag // 2 + 1))
-    data = rng.standard_normal((ndiag, m)).astype(dtype)
-    return m, offsets, data
+M = 8_000_000
+NDIAG = 11
+OFFSETS = tuple(range(-(NDIAG // 2), NDIAG // 2 + 1))
 
 
-def bench_tpu(m, offsets, data, iters=50):
+def bench_tpu(iters=30):
     import jax
     import jax.numpy as jnp
 
-    from lsqr_tpu.ops.structured import dia_operator
+    from lsqr_tpu.ops.structured import dia_operator_device
 
-    n = m
-    A = dia_operator(m, n, offsets, data)
-    nnz = A.data.shape[0] * m
+    nnz = NDIAG * M
+    key = jax.random.PRNGKey(0)
 
     @jax.jit
-    def run(x):
+    def run(key):
+        data = jax.random.normal(key, (NDIAG, M), jnp.float32)
+        A = dia_operator_device(M, M, OFFSETS, data)
+
         def body(i, x):
             y = A.matvec(x)
             z = A.rmatvec(y)
-            return z / jnp.max(jnp.abs(z))
-        return jax.lax.fori_loop(0, iters, body, x)
+            return z * 1e-9
 
-    x0 = jnp.ones((n,), data.dtype)
-    out = run(x0)
-    float(jnp.sum(out))  # warm-up + sync
+        x = jax.lax.fori_loop(0, iters, body, jnp.ones((M,), jnp.float32))
+        return jnp.sum(x)
+
+    float(run(key))  # compile + warm
     t0 = time.perf_counter()
-    out = run(x0)
-    float(jnp.sum(out))  # host fetch forces completion through the relay
-    dt_pair = (time.perf_counter() - t0) / iters
-    return nnz, dt_pair
+    float(run(key))  # host fetch forces completion through the relay
+    return nnz, (time.perf_counter() - t0) / iters
 
 
-def bench_cpu_serial(m, offsets, data, iters=8):
+def bench_cpu_serial(iters=4):
     """scipy CSR products on the host CPU — the serial compiled-code
     baseline standing in for the Fortran reference's aprod loops."""
     import scipy.sparse
 
-    S = scipy.sparse.dia_matrix((data, list(offsets)), shape=(m, m)).tocsr()
+    rng = np.random.default_rng(0)
+    data = rng.standard_normal((NDIAG, M)).astype(np.float32)
+    S = scipy.sparse.dia_matrix((data, list(OFFSETS)), shape=(M, M)).tocsr()
     St = S.T.tocsr()
     nnz = S.nnz
-    x = np.ones(m, data.dtype)
+    x = np.ones(M, np.float32)
     y = S @ x  # warm
     t0 = time.perf_counter()
     for _ in range(iters):
         y = S @ x
-        z = St @ y
-        x = z / np.abs(z).max()
+        x = (St @ y) * np.float32(1e-9)
     dt_pair = (time.perf_counter() - t0) / iters
     return nnz, dt_pair
 
 
 def main():
-    m, offsets, data = _build_problem()
-    nnz_t, dt_t = bench_tpu(m, offsets, data)
+    nnz_t, dt_t = bench_tpu()
     gnnz_tpu = 2 * nnz_t / dt_t / 1e9
 
-    nnz_c, dt_c = bench_cpu_serial(m, offsets, data)
+    nnz_c, dt_c = bench_cpu_serial()
     gnnz_cpu = 2 * nnz_c / dt_c / 1e9
 
     print(
         json.dumps(
             {
-                "metric": "spmv_pair_throughput_banded_11Mnnz_f32",
+                "metric": "spmv_pair_throughput_banded_88Mnnz_f32",
                 "value": round(gnnz_tpu, 2),
                 "unit": "Gnnz/s",
                 "vs_baseline": round(gnnz_tpu / gnnz_cpu, 2),

@@ -34,6 +34,7 @@ from .linop import LinearOperator
 
 __all__ = [
     "DIAOperator",
+    "dia_operator_device",
     "dia_operator",
     "ELLOperator",
     "ell_operator",
@@ -130,6 +131,40 @@ def _dia_matvec_xla(data, x, offsets, m, n):
     for j, k in enumerate(offsets):
         y = y + data[j] * jax.lax.dynamic_slice(xp, (lo + k,), (m,))
     return y
+
+
+def dia_operator_device(
+    m, n, offsets: Sequence[int], data: jax.Array, *, use_pallas=None
+) -> DIAOperator:
+    """Build a DIAOperator from stripes already resident on device, with the
+    masking and transpose-stripe packing computed on device (jnp). Use this
+    for large matrices: it avoids any host<->device transfer of the stripes
+    (important on relayed/remote TPU setups where bulk transfers are slow).
+    """
+    offsets = tuple(int(k) for k in offsets)
+    nd = len(offsets)
+    if data.shape != (nd, m):
+        raise ValueError(f"data must have shape ({nd}, {m}), got {data.shape}")
+    i = jnp.arange(m)
+    mask = jnp.stack([(i + k >= 0) & (i + k < n) for k in offsets])
+    data = data * mask.astype(data.dtype)
+
+    # tdata[j, c] = data[j, c - k] on an n-length axis
+    tdata_rows = []
+    for j, k in enumerate(offsets):
+        row = jnp.zeros((n,), data.dtype)
+        src_lo, src_hi = max(0, -k), min(m, n - k)
+        if src_hi > src_lo:
+            row = row.at[src_lo + k : src_hi + k].set(data[j, src_lo:src_hi])
+        tdata_rows.append(row)
+    return DIAOperator(
+        data=data,
+        tdata=jnp.stack(tdata_rows),
+        m=int(m),
+        n=int(n),
+        offsets=offsets,
+        use_pallas=use_pallas,
+    )
 
 
 def dia_operator(
