@@ -321,9 +321,14 @@ class BlockELLOperator(LinearOperator):
         )
         return yb.reshape(-1)[:out_len]
 
+    def _pallas_ok(self, x_len: int) -> bool:
+        # the block kernel keeps the full gathered vector in VMEM; fall back
+        # to the XLA einsum when it would not fit comfortably
+        return bool(self.use_pallas) and x_len * 4 <= 8 * 1024 * 1024
+
     def matvec(self, x: jax.Array) -> jax.Array:
         xp = _pad_to(x, self.tblocks.shape[0] * self.bw)
-        if self.use_pallas:
+        if self._pallas_ok(xp.shape[0]):
             from .pallas_spmv import block_ell_matvec
 
             return block_ell_matvec(self.blocks, self.bcols, xp)[: self.m]
@@ -331,7 +336,7 @@ class BlockELLOperator(LinearOperator):
 
     def rmatvec(self, y: jax.Array) -> jax.Array:
         yp = _pad_to(y, self.blocks.shape[0] * self.bh)
-        if self.use_pallas:
+        if self._pallas_ok(yp.shape[0]):
             from .pallas_spmv import block_ell_matvec
 
             return block_ell_matvec(self.tblocks, self.tbrows, yp)[: self.n]
