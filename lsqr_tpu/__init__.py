@@ -43,6 +43,8 @@ from .ops.structured import (
     ell_operator,
 )
 from .solver import ISTOP_MESSAGES, LSQRResult, lsqr
+from .utils.checkpoint import load_state, lsqr_checkpointed, save_state
+from .utils.printing import format_exit_block, format_iteration_log, format_report
 
 __version__ = "0.1.0"
 
@@ -79,4 +81,10 @@ __all__ = [
     "column_norms",
     "column_scaled",
     "right_preconditioned",
+    "lsqr_checkpointed",
+    "save_state",
+    "load_state",
+    "format_report",
+    "format_exit_block",
+    "format_iteration_log",
 ]

@@ -99,3 +99,25 @@ def test_report_formatting(rng):
         from lsqr_tpu.utils.printing import format_iteration_log
 
         format_iteration_log(res2)
+
+
+def test_debug_log_prints(rng, capfd):
+    """Live iteration logging via jax.debug.print with the reference's
+    throttling (lsqr.f90:813-837)."""
+    import jax.numpy as jnp
+
+    dense = rng.standard_normal((30, 12))
+    res = lt.lsqr(
+        lt.DenseOperator(a=jnp.asarray(dense)),
+        rng.standard_normal(30),
+        0.0,
+        debug_log=True,
+        atol=1e-6,
+        btol=1e-6,
+        itnlim=50,
+    )
+    res.x.block_until_ready()
+    out = capfd.readouterr().out
+    lines = [l for l in out.splitlines() if l.strip()]
+    assert len(lines) >= int(res.itn)  # n<=40 => every iteration printed
+    assert lines[0].split()[0] == "1"
