@@ -95,6 +95,14 @@ class LSQROptions:
     safe_norms: bool = True
     debug_log: bool = False
     dtype: Optional[jnp.dtype] = None
+    #: loop form: "while" (single lax.while_loop, default), "bounded"
+    #: (host-stepped fixed-size fori segments — required for operators whose
+    #: products are Pallas kernels on backends where pallas inside
+    #: lax.while_loop misbehaves), or None = auto from the operator's
+    #: prefers_bounded_loop property.
+    loop: Optional[str] = None
+    #: segment length for the bounded loop form
+    loop_segment: int = 64
 
     def resolve_itnlim(self, n: int) -> int:
         return int(self.itnlim) if self.itnlim is not None else 4 * int(n)

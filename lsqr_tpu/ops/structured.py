@@ -86,6 +86,12 @@ class DIAOperator(LinearOperator):
             return dim >= 2_000_000 and jax.default_backend() == "tpu"
         return bool(self.use_pallas)
 
+    @property
+    def prefers_bounded_loop(self) -> bool:
+        # pallas products compose badly with lax.while_loop on some relayed
+        # backends; ask the solver for the static-trip-count loop form
+        return self._pallas_selected(max(self.m, self.n))
+
     def matvec(self, x: jax.Array) -> jax.Array:
         if self._pallas_selected(self.m):
             from .pallas_spmv import dia_matvec
@@ -320,6 +326,10 @@ class BlockELLOperator(LinearOperator):
             "rkij,rkj->ri", blocks, xb, preferred_element_type=self.dtype
         )
         return yb.reshape(-1)[:out_len]
+
+    @property
+    def prefers_bounded_loop(self) -> bool:
+        return bool(self.use_pallas)
 
     def _pallas_ok(self, x_len: int) -> bool:
         # the block kernel keeps the full gathered vector in VMEM; fall back

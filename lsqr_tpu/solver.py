@@ -31,6 +31,7 @@ the transpose-product reduction lives inside the operator's ``rmatvec``.
 
 from __future__ import annotations
 
+from functools import partial
 from typing import NamedTuple, Optional
 
 import jax
@@ -435,6 +436,67 @@ def _lsqr_impl(
     return finalize(final)
 
 
+def _masked_body(cond_fun, body_fun):
+    """Fixed-trip-count variant of the solver body: iterations after
+    convergence become no-ops (carry frozen by a scalar select)."""
+
+    def mb(_, c):
+        active = cond_fun(c)
+        new = body_fun(c)
+        return jax.tree.map(lambda a, b: jnp.where(active, a, b), new, c)
+
+    return mb
+
+
+@partial(
+    jax.jit,
+    static_argnames=(
+        "seg_len", "itnlim", "wantse", "nconv", "record_trace", "safe_norms",
+        "debug_log",
+    ),
+)
+def _segment_fori(A, b, damp, atol, btol, conlim, carry, *, seg_len, **static_opts):
+    """Run exactly ``seg_len`` masked iterations (STATIC trip count — no
+    lax.while_loop). This is the loop form that composes with Pallas
+    kernels on backends where pallas-inside-while_loop misbehaves."""
+    carry0, cond_fun, body_fun, _ = _build(A, b, damp, atol, btol, conlim, **static_opts)
+    carry = carry if carry is not None else carry0
+    return jax.lax.fori_loop(
+        0, seg_len, _masked_body(cond_fun, body_fun), carry, unroll=False
+    )
+
+
+@partial(
+    jax.jit,
+    static_argnames=(
+        "itnlim", "wantse", "nconv", "record_trace", "safe_norms", "debug_log"
+    ),
+)
+def _finalize_only(A, b, damp, atol, btol, conlim, carry, **static_opts):
+    _, _, _, finalize = _build(A, b, damp, atol, btol, conlim, **static_opts)
+    return finalize(carry)
+
+
+def _lsqr_bounded(A, b, damp, atol, btol, conlim, *, seg_len, itnlim, **static_opts):
+    """Host-stepped solve in fixed-size fori segments: after each segment the
+    scalar istop/itn are fetched and the loop exits as soon as the solver
+    stopped. At most ``seg_len - 1`` wasted (masked) iterations."""
+    carry = None
+    kwargs = dict(itnlim=itnlim, **static_opts)
+    while True:
+        prev_itn = int(carry.itn) if carry is not None else -1
+        carry = _segment_fori(
+            A, b, damp, atol, btol, conlim, carry,
+            seg_len=min(seg_len, itnlim) if itnlim > 0 else seg_len,
+            **kwargs,
+        )
+        if int(carry.istop) != 0 or int(carry.itn) >= itnlim:
+            break
+        if int(carry.itn) == prev_itn:  # degenerate setup (arnorm0 == 0)
+            break
+    return _finalize_only(A, b, damp, atol, btol, conlim, carry, **kwargs)
+
+
 _lsqr_jit = jax.jit(
     _lsqr_impl,
     static_argnames=(
@@ -503,7 +565,6 @@ def lsqr(
         return res._replace(x=x0 + res.x, xnorm=nrm2(x0 + res.x, safe=opts.safe_norms))
 
     itnlim = opts.resolve_itnlim(A.n)
-    fn = _lsqr_jit if _jit else _lsqr_impl
     kwargs = dict(
         itnlim=itnlim,
         wantse=opts.wantse,
@@ -512,12 +573,20 @@ def lsqr(
         safe_norms=opts.safe_norms,
         debug_log=opts.debug_log,
     )
-    return fn(
+    args = (
         A,
         b,
         jnp.asarray(damp, dtype),
         jnp.asarray(opts.atol, dtype),
         jnp.asarray(opts.btol, dtype),
         jnp.asarray(opts.conlim, dtype),
-        **kwargs,
     )
+    loop = opts.loop
+    if loop is None:
+        # some operators (Pallas-kernel products on certain backends) need a
+        # static-trip-count loop; they advertise it
+        loop = "bounded" if getattr(A, "prefers_bounded_loop", False) else "while"
+    if loop == "bounded":
+        return _lsqr_bounded(*args, seg_len=opts.loop_segment, **kwargs)
+    fn = _lsqr_jit if _jit else _lsqr_impl
+    return fn(*args, **kwargs)
