@@ -18,7 +18,10 @@ TPU-first additions (no reference analogue):
 
 * dtype policy: float32 is the native fast path; float64 (via
   ``jax.config.update('jax_enable_x64', True)``) is the conformance mode that
-  reproduces the reference's real64 iteration counts.
+  reproduces the reference's real64 iteration counts. The reference's
+  optional real128 build (lsqr_kinds.F90:19-21) has no TPU equivalent —
+  there is no quad-precision hardware path; x64 + safe_norms is the
+  maximum-robustness configuration here.
 * ``safe_norms`` selects the overflow-safe scaled two-pass 2-norm (the
   functional replacement for the reference's sequential scale/ssq ``dnrm2``,
   lsqrblas.f90:123-159).
