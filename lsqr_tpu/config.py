@@ -106,6 +106,11 @@ class LSQROptions:
     loop: Optional[str] = None
     #: segment length for the bounded loop form
     loop_segment: int = 64
+    #: fuse each bidiagonalization half-step (product + axpy + norm) into a
+    #: single streaming kernel, keeping u/v unnormalized in the carry.
+    #: None = auto from the operator's prefers_fused property. Fused norms
+    #: are plain (unscaled) sums of squares.
+    fused: Optional[bool] = None
 
     def resolve_itnlim(self, n: int) -> int:
         return int(self.itnlim) if self.itnlim is not None else 4 * int(n)

@@ -26,7 +26,7 @@ import jax.numpy as jnp
 from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
 
-__all__ = ["block_ell_matvec", "dia_matvec"]
+__all__ = ["block_ell_matvec", "dia_matvec", "dia_fused_halfstep"]
 
 
 # ---------------------------------------------------------------------------
@@ -205,3 +205,133 @@ def dia_matvec(data, x, *, offsets, m, n, interpret=False, tm=None):
         interpret=interpret,
     )(data, xp)
     return out
+
+
+# ---------------------------------------------------------------------------
+# Fused bidiagonalization half-step (DIA)
+# ---------------------------------------------------------------------------
+#
+# The LSQR inner loop's HBM traffic is the two products plus the axpys and
+# norms around them (lsqr.f90:681-699). With u and v kept UNNORMALIZED in
+# the solver carry (their norms tracked as scalars), both half-steps have
+# the same shape
+#
+#     out = A_or_At (win * c1)  -  c2 * y,     ssq = sum(out**2)
+#
+#   forward: win=v_unnorm, c1=1/alpha, y=u_unnorm, c2=alpha/beta
+#   adjoint: win=u_unnorm, c1=1/beta,  y=v_unnorm, c2=beta/alpha
+#
+# so ONE kernel fuses product + axpy + norm reduction into a single
+# streaming pass. Output layout note: XLA stack-allocates multi-output or
+# ANY-space pallas outputs (blowing the 16MB scoped-vmem limit for MB-scale
+# vectors), so the kernel has exactly one VMEM-blocked output of shape
+# (nt, 1, tm + 128): per tile, the first tm lanes are the result and the
+# last 128 carry the tile's norm partial (broadcast; summed by the caller).
+
+
+def _dia_fused_kernel(
+    offsets, lo, tm, win, m_total, data_ref, y_ref, sc_ref, x_hbm,
+    out_ref, xw0_ref, xw1_ref, sem
+):
+    t = pl.program_id(0)
+    nt = pl.num_programs(0)
+    bufs = (xw0_ref, xw1_ref)
+
+    def window_dma(slot, tile):
+        return pltpu.make_async_copy(
+            x_hbm.at[pl.ds(tile * tm, win)], bufs[slot], sem.at[slot]
+        )
+
+    @pl.when(t == 0)
+    def _():
+        window_dma(0, 0).start()
+
+    even = t % 2 == 0
+
+    @pl.when((t + 1 < nt) & even)
+    def _():
+        window_dma(1, t + 1).start()
+
+    @pl.when((t + 1 < nt) & jnp.logical_not(even))
+    def _():
+        window_dma(0, t + 1).start()
+
+    @pl.when(even)
+    def _():
+        window_dma(0, t).wait()
+
+    @pl.when(jnp.logical_not(even))
+    def _():
+        window_dma(1, t).wait()
+
+    c1 = sc_ref[0, 0]
+    c2 = sc_ref[1, 0]
+    xw = jnp.where(even, xw0_ref[:], xw1_ref[:]).astype(jnp.float32) * c1
+    acc = (-c2) * y_ref[:tm].astype(jnp.float32)
+    for d, k in enumerate(offsets):
+        seg = jax.lax.slice(xw, (lo + k,), (lo + k + tm,))
+        acc = acc + data_ref[d, :].astype(jnp.float32) * seg
+    if m_total % tm != 0:
+        # ragged last tile: input blocks beyond m are padded with UNDEFINED
+        # values — mask them out of both the output and the norm.
+        idx = t * tm + jax.lax.broadcasted_iota(jnp.int32, (tm, 1), 0)[:, 0]
+        acc = jnp.where(idx < m_total, acc, 0.0)
+    out_ref[:tm] = acc.astype(out_ref.dtype)
+    sq = acc * acc
+    local = jnp.sum(sq.reshape(-1, 128)) if tm % 128 == 0 else jnp.sum(sq)
+    out_ref[tm:] = jnp.full((1024,), local * (1.0 / 1024.0), out_ref.dtype)
+
+
+def dia_fused_halfstep(data, y, win_vec, c1, c2, *, offsets, m, n, interpret=False, tm=None):
+    """One streaming pass computing
+        out = DIA(data, offsets) @ (win_vec * c1)  -  c2 * y
+        ssq = sum(out**2)
+    with data: (ndiag, m) stripes, y: (m,), win_vec: (n,). Returns (out, ssq).
+    """
+    ks = tuple(offsets)
+    kmin, kmax = min(ks), max(ks)
+    if tm is None:
+        tm = 32768 if m >= 4_000_000 else (8192 if m >= 8192 else max(128, min(m, 1024)))
+    nt = -(-m // tm)
+    lo = max(0, -kmin)
+    win = -(-(lo + kmax + tm) // 1024) * 1024
+    xp_len = max(lo + n, (nt - 1) * tm + win)
+    xp_len = -(-xp_len // 1024) * 1024
+    xp = jnp.zeros((xp_len,), win_vec.dtype).at[lo : lo + n].set(win_vec)
+    # y padded to the interleaved tile grid (tile stride tm + 128; the tail
+    # lanes of each stripe are unused on input)
+    y3 = jnp.zeros((nt * tm,), y.dtype).at[:m].set(y)
+    y3 = jnp.pad(y3.reshape(nt, tm), ((0, 0), (0, 1024))).reshape(-1)
+    sc = jnp.stack(
+        [jnp.asarray(c1, jnp.float32), jnp.asarray(c2, jnp.float32)]
+    ).reshape(1, 2)
+    sc = jnp.broadcast_to(sc.reshape(2, 1), (2, 128)) * jnp.ones((8, 1), jnp.float32)[:2]
+    sc = jnp.pad(sc, ((0, 6), (0, 0)))  # (8, 128) VMEM tile; rows 0/1 = c1/c2
+
+    kernel = functools.partial(_dia_fused_kernel, ks, lo, tm, win, m)
+    out3 = pl.pallas_call(
+        kernel,
+        grid=(nt,),
+        in_specs=[
+            pl.BlockSpec((len(ks), tm), lambda t: (0, t), memory_space=pltpu.VMEM),
+            pl.BlockSpec((tm + 1024,), lambda t: (t,), memory_space=pltpu.VMEM),
+            pl.BlockSpec((8, 128), lambda t: (0, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec(memory_space=pltpu.ANY),
+        ],
+        out_specs=pl.BlockSpec((tm + 1024,), lambda t: (t,), memory_space=pltpu.VMEM),
+        out_shape=jax.ShapeDtypeStruct((nt * (tm + 1024),), data.dtype),
+        scratch_shapes=[
+            pltpu.VMEM((win,), data.dtype),
+            pltpu.VMEM((win,), data.dtype),
+            pltpu.SemaphoreType.DMA((2,)),
+        ],
+        interpret=interpret,
+    )(data, y3, sc, xp)
+    # barrier: without it XLA tries to fuse the reshape/slice consumers into
+    # the custom call's output placement and stack-allocates the whole
+    # buffer in VMEM
+    out3 = jax.lax.optimization_barrier(out3)
+    out3 = out3.reshape(nt, tm + 1024)
+    out = out3[:, :tm].reshape(-1)[:m]
+    ssq = jnp.sum(out3[:, tm:].astype(jnp.float32))
+    return out, ssq

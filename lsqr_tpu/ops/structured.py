@@ -92,6 +92,34 @@ class DIAOperator(LinearOperator):
         # backends; ask the solver for the static-trip-count loop form
         return self._pallas_selected(max(self.m, self.n))
 
+    @property
+    def prefers_fused(self) -> bool:
+        # The fused half-step kernel is correct (interpret-verified) but the
+        # current TPU toolchain stack-allocates its output tuple in scoped
+        # VMEM and fails to compile at MB-scale (see BENCHMARKS.md known
+        # issues) — keep it opt-in (fused=True) until that is resolved.
+        return False
+
+    def fused_halfstep(self, *, forward: bool, y, win, c1, c2):
+        """Fused bidiagonalization half-step (see
+        ops/pallas_spmv.dia_fused_halfstep):
+          forward:  A  (win*c1) - c2*y   with y (m,), win (n,)
+          adjoint:  A' (win*c1) - c2*y   with y (n,), win (m,)
+        Returns (out, ssq(out)). Runs the Pallas kernel on TPU, interpret
+        mode elsewhere (tests)."""
+        from .pallas_spmv import dia_fused_halfstep
+
+        interpret = jax.default_backend() != "tpu"
+        if forward:
+            return dia_fused_halfstep(
+                self.data, y, win, c1, c2,
+                offsets=self.offsets, m=self.m, n=self.n, interpret=interpret,
+            )
+        return dia_fused_halfstep(
+            self.tdata, y, win, c1, c2,
+            offsets=self.toffsets, m=self.n, n=self.m, interpret=interpret,
+        )
+
     def matvec(self, x: jax.Array) -> jax.Array:
         if self._pallas_selected(self.m):
             from .pallas_spmv import dia_matvec

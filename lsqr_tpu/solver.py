@@ -96,6 +96,7 @@ class _Carry(NamedTuple):
     x: jax.Array
     se: jax.Array
     alpha: jax.Array
+    beta: jax.Array
     rhobar: jax.Array
     phibar: jax.Array
     anorm: jax.Array
@@ -137,6 +138,7 @@ def _build(
     record_trace: bool,
     safe_norms: bool,
     debug_log: bool,
+    fused: bool = False,
 ):
     """Construct the solver pieces: (carry0, cond_fun, body_fun, finalize).
 
@@ -170,12 +172,24 @@ def _build(
     u0 = b
     beta0 = norm_m(u0)
     safe_beta0 = jnp.where(beta0 > zero, beta0, one)
-    u0 = jnp.where(beta0 > zero, u0 / safe_beta0, u0)
-    v0 = jnp.where(beta0 > zero, A.rmatvec(u0), jnp.zeros((A.local_n if hasattr(A, "local_n") else n,), dtype))
-    alpha0 = jnp.where(beta0 > zero, norm_n(v0), zero)
+    u0_norm = jnp.where(beta0 > zero, u0 / safe_beta0, u0)
+    v0u = jnp.where(
+        beta0 > zero,
+        A.rmatvec(u0_norm),
+        jnp.zeros((A.local_n if hasattr(A, "local_n") else n,), dtype),
+    )
+    alpha0 = jnp.where(beta0 > zero, norm_n(v0u), zero)
     safe_alpha0 = jnp.where(alpha0 > zero, alpha0, one)
-    v0 = jnp.where(alpha0 > zero, v0 / safe_alpha0, v0)
-    w0 = v0
+    v0_norm = jnp.where(alpha0 > zero, v0u / safe_alpha0, v0u)
+    if fused:
+        # fused carry keeps u, v UNNORMALIZED with their norms as scalars
+        # (carry.beta = ||u||, carry.alpha = ||v||); the half-step kernels
+        # fold the normalizations into their streaming pass.
+        u0, v0 = u0, v0u
+        w0 = v0_norm
+    else:
+        u0, v0 = u0_norm, v0_norm
+        w0 = v0_norm
     arnorm0 = alpha0 * beta0
 
     bnorm = beta0
@@ -202,6 +216,7 @@ def _build(
         x=jnp.zeros((n_local,), dtype),
         se=jnp.zeros((n_local if wantse else 1,), dtype),
         alpha=alpha0,
+        beta=beta0,
         rhobar=alpha0,
         phibar=beta0,
         anorm=zero,
@@ -228,27 +243,57 @@ def _build(
         itn = c.itn + 1
 
         # --- bidiagonalization step (lsqr.f90:681-699) -----------------
-        # u := A v - alpha u ; beta = ||u||
-        u = A.matvec(c.v) - c.alpha * c.u
-        beta = norm_m(u)
+        if fused:
+            # unnormalized-carry form: u_true = c.u/c.beta, v_true =
+            # c.v/c.alpha; both half-steps are single fused streaming
+            # kernels (product + axpy + norm, ops/pallas_spmv.py).
+            inv_alpha_prev = jnp.where(c.alpha > zero, one / jnp.where(c.alpha > zero, c.alpha, one), zero)
+            inv_beta_prev = jnp.where(c.beta > zero, one / jnp.where(c.beta > zero, c.beta, one), zero)
+            # u_new = A v_true - alpha * u_true
+            u, ssq_u = A.fused_halfstep(
+                forward=True, y=c.u, win=c.v,
+                c1=inv_alpha_prev, c2=c.alpha * inv_beta_prev,
+            )
+            beta = jnp.sqrt(ssq_u).astype(dtype)
+            temp = d2norm(c.alpha, beta)
+            temp = d2norm(temp, damp)
+            anorm = d2norm(c.anorm, temp)
+            beta_pos = beta > zero
+            inv_beta = jnp.where(beta_pos, one / jnp.where(beta_pos, beta, one), zero)
+            # v_new = A' u_true_new - beta * v_true
+            v_cand, ssq_v = A.fused_halfstep(
+                forward=False, y=c.v, win=u,
+                c1=inv_beta, c2=beta * inv_alpha_prev,
+            )
+            alpha_cand = jnp.sqrt(ssq_v).astype(dtype)
+            v = jnp.where(beta_pos, v_cand, c.v)
+            alpha = jnp.where(beta_pos, alpha_cand, c.alpha)
+            # v_true for the x/w update below
+            inv_alpha_new = jnp.where(alpha > zero, one / jnp.where(alpha > zero, alpha, one), one)
+            v_for_w = v * inv_alpha_new
+        else:
+            # u := A v - alpha u ; beta = ||u||
+            u = A.matvec(c.v) - c.alpha * c.u
+            beta = norm_m(u)
 
-        # anorm accumulates ||B_k||_F including damp (lsqr.f90:687-689).
-        temp = d2norm(c.alpha, beta)
-        temp = d2norm(temp, damp)
-        anorm = d2norm(c.anorm, temp)
+            # anorm accumulates ||B_k||_F including damp (lsqr.f90:687-689).
+            temp = d2norm(c.alpha, beta)
+            temp = d2norm(temp, damp)
+            anorm = d2norm(c.anorm, temp)
 
-        # if beta > 0: u /= beta; v := A'u - beta v; alpha = ||v||;
-        # if alpha > 0: v /= alpha   (lsqr.f90:691-699)
-        beta_pos = beta > zero
-        safe_beta = jnp.where(beta_pos, beta, one)
-        u = jnp.where(beta_pos, u / safe_beta, u)
-        v_cand = A.rmatvec(u) - beta * c.v
-        alpha_cand = norm_n(v_cand)
-        alpha_pos = alpha_cand > zero
-        safe_alpha = jnp.where(alpha_pos, alpha_cand, one)
-        v_cand = jnp.where(alpha_pos, v_cand / safe_alpha, v_cand)
-        v = jnp.where(beta_pos, v_cand, c.v)
-        alpha = jnp.where(beta_pos, alpha_cand, c.alpha)
+            # if beta > 0: u /= beta; v := A'u - beta v; alpha = ||v||;
+            # if alpha > 0: v /= alpha   (lsqr.f90:691-699)
+            beta_pos = beta > zero
+            safe_beta = jnp.where(beta_pos, beta, one)
+            u = jnp.where(beta_pos, u / safe_beta, u)
+            v_cand = A.rmatvec(u) - beta * c.v
+            alpha_cand = norm_n(v_cand)
+            alpha_pos = alpha_cand > zero
+            safe_alpha = jnp.where(alpha_pos, alpha_cand, one)
+            v_cand = jnp.where(alpha_pos, v_cand / safe_alpha, v_cand)
+            v = jnp.where(beta_pos, v_cand, c.v)
+            alpha = jnp.where(beta_pos, alpha_cand, c.alpha)
+            v_for_w = v
 
         # --- rotation eliminating damp (lsqr.f90:703-710) ---------------
         rhbar1_d = d2norm(c.rhobar, damp)
@@ -276,7 +321,7 @@ def _build(
         t3 = one / safe_rho
         t = c.w
         x = t1 * t + c.x
-        w = t2 * t + v
+        w = t2 * t + v_for_w
         dk2 = jnp.square(t3 * t)
         dknorm = jnp.sqrt(sum_n(dk2))
         se = c.se + dk2 if wantse else c.se
@@ -372,7 +417,7 @@ def _build(
         return _Carry(
             itn=itn, istop=istop, nstop=nstop,
             u=u, v=v, w=w, x=x, se=se,
-            alpha=alpha, rhobar=rhobar, phibar=phibar,
+            alpha=alpha, beta=beta, rhobar=rhobar, phibar=phibar,
             anorm=anorm, dnorm=dnorm, dxmax=dxmax, maxdx=maxdx,
             res2=res2, psi=psi,
             xnorm=xnorm, xnorm1=xnorm1, cs2=cs2, sn2=sn2, z=z,
@@ -452,7 +497,7 @@ def _masked_body(cond_fun, body_fun):
     jax.jit,
     static_argnames=(
         "seg_len", "itnlim", "wantse", "nconv", "record_trace", "safe_norms",
-        "debug_log",
+        "debug_log", "fused",
     ),
 )
 def _segment_fori(A, b, damp, atol, btol, conlim, carry, *, seg_len, **static_opts):
@@ -469,7 +514,8 @@ def _segment_fori(A, b, damp, atol, btol, conlim, carry, *, seg_len, **static_op
 @partial(
     jax.jit,
     static_argnames=(
-        "itnlim", "wantse", "nconv", "record_trace", "safe_norms", "debug_log"
+        "itnlim", "wantse", "nconv", "record_trace", "safe_norms", "debug_log",
+        "fused",
     ),
 )
 def _finalize_only(A, b, damp, atol, btol, conlim, carry, **static_opts):
@@ -500,7 +546,8 @@ def _lsqr_bounded(A, b, damp, atol, btol, conlim, *, seg_len, itnlim, **static_o
 _lsqr_jit = jax.jit(
     _lsqr_impl,
     static_argnames=(
-        "itnlim", "wantse", "nconv", "record_trace", "safe_norms", "debug_log"
+        "itnlim", "wantse", "nconv", "record_trace", "safe_norms", "debug_log",
+        "fused",
     ),
 )
 
@@ -565,6 +612,14 @@ def lsqr(
         return res._replace(x=x0 + res.x, xnorm=nrm2(x0 + res.x, safe=opts.safe_norms))
 
     itnlim = opts.resolve_itnlim(A.n)
+    fused = opts.fused
+    if fused is None:
+        fused = bool(getattr(A, "prefers_fused", False))
+    if fused and not hasattr(A, "fused_halfstep"):
+        raise ValueError(
+            f"{type(A).__name__} does not implement fused_halfstep; "
+            "set fused=False"
+        )
     kwargs = dict(
         itnlim=itnlim,
         wantse=opts.wantse,
@@ -572,6 +627,7 @@ def lsqr(
         record_trace=opts.record_trace,
         safe_norms=opts.safe_norms,
         debug_log=opts.debug_log,
+        fused=fused,
     )
     args = (
         A,
