@@ -26,7 +26,7 @@ import jax.numpy as jnp
 from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
 
-__all__ = ["block_ell_matvec", "dia_matvec", "dia_fused_halfstep"]
+__all__ = ["block_ell_matvec", "dia_matvec", "dia_matvec_axpy", "dia_fused_halfstep"]
 
 
 # ---------------------------------------------------------------------------
@@ -335,3 +335,94 @@ def dia_fused_halfstep(data, y, win_vec, c1, c2, *, offsets, m, n, interpret=Fal
     out = out3[:, :tm].reshape(-1)[:m]
     ssq = jnp.sum(out3[:, tm:].astype(jnp.float32))
     return out, ssq
+
+
+# ---------------------------------------------------------------------------
+# Product + axpy (DIA): out = A (win * c1) - c2 * y, no norm output.
+# Structurally identical to dia_matvec's (working) single clean (m,) output;
+# used to fuse the bidiag axpys when the full fused half-step cannot compile
+# (see BENCHMARKS.md known issues), and as the allocator-bug discriminator.
+# ---------------------------------------------------------------------------
+
+
+def _dia_axpy_kernel(
+    offsets, lo, tm, win, data_ref, y_ref, sc_ref, x_hbm,
+    out_ref, xw0_ref, xw1_ref, sem
+):
+    t = pl.program_id(0)
+    nt = pl.num_programs(0)
+    bufs = (xw0_ref, xw1_ref)
+
+    def window_dma(slot, tile):
+        return pltpu.make_async_copy(
+            x_hbm.at[pl.ds(tile * tm, win)], bufs[slot], sem.at[slot]
+        )
+
+    @pl.when(t == 0)
+    def _():
+        window_dma(0, 0).start()
+
+    even = t % 2 == 0
+
+    @pl.when((t + 1 < nt) & even)
+    def _():
+        window_dma(1, t + 1).start()
+
+    @pl.when((t + 1 < nt) & jnp.logical_not(even))
+    def _():
+        window_dma(0, t + 1).start()
+
+    @pl.when(even)
+    def _():
+        window_dma(0, t).wait()
+
+    @pl.when(jnp.logical_not(even))
+    def _():
+        window_dma(1, t).wait()
+
+    c1 = sc_ref[0, 0]
+    c2 = sc_ref[1, 0]
+    xw = jnp.where(even, xw0_ref[:], xw1_ref[:]).astype(jnp.float32) * c1
+    acc = (-c2) * y_ref[:].astype(jnp.float32)
+    for d, k in enumerate(offsets):
+        seg = jax.lax.slice(xw, (lo + k,), (lo + k + tm,))
+        acc = acc + data_ref[d, :].astype(jnp.float32) * seg
+    out_ref[:] = acc.astype(out_ref.dtype)
+
+
+def dia_matvec_axpy(data, y, win_vec, c1, c2, *, offsets, m, n, interpret=False, tm=None):
+    """out = DIA(data, offsets) @ (win_vec * c1) - c2 * y in one pass."""
+    ks = tuple(offsets)
+    kmin, kmax = min(ks), max(ks)
+    if tm is None:
+        tm = 32768 if m >= 4_000_000 else (8192 if m >= 8192 else max(8, min(m, 1024)))
+    nt = -(-m // tm)
+    lo = max(0, -kmin)
+    win = -(-(lo + kmax + tm) // 1024) * 1024
+    xp_len = max(lo + n, (nt - 1) * tm + win)
+    xp_len = -(-xp_len // 1024) * 1024
+    xp = jnp.zeros((xp_len,), win_vec.dtype).at[lo : lo + n].set(win_vec)
+    sc = jnp.zeros((8, 128), jnp.float32)
+    sc = sc.at[0, :].set(jnp.asarray(c1, jnp.float32))
+    sc = sc.at[1, :].set(jnp.asarray(c2, jnp.float32))
+
+    kernel = functools.partial(_dia_axpy_kernel, ks, lo, tm, win)
+    out = pl.pallas_call(
+        kernel,
+        grid=(nt,),
+        in_specs=[
+            pl.BlockSpec((len(ks), tm), lambda t: (0, t), memory_space=pltpu.VMEM),
+            pl.BlockSpec((tm,), lambda t: (t,), memory_space=pltpu.VMEM),
+            pl.BlockSpec((8, 128), lambda t: (0, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec(memory_space=pltpu.ANY),
+        ],
+        out_specs=pl.BlockSpec((tm,), lambda t: (t,), memory_space=pltpu.VMEM),
+        out_shape=jax.ShapeDtypeStruct((m,), data.dtype),
+        scratch_shapes=[
+            pltpu.VMEM((win,), data.dtype),
+            pltpu.VMEM((win,), data.dtype),
+            pltpu.SemaphoreType.DMA((2,)),
+        ],
+        interpret=interpret,
+    )(data, y, sc, xp)
+    return out

@@ -94,30 +94,36 @@ class DIAOperator(LinearOperator):
 
     @property
     def prefers_fused(self) -> bool:
-        # The fused half-step kernel is correct (interpret-verified) but the
-        # current TPU toolchain stack-allocates its output tuple in scoped
-        # VMEM and fails to compile at MB-scale (see BENCHMARKS.md known
-        # issues) — keep it opt-in (fused=True) until that is resolved.
-        return False
+        # pays off exactly where the Pallas product kernels do
+        return self._pallas_selected(max(self.m, self.n))
 
     def fused_halfstep(self, *, forward: bool, y, win, c1, c2):
         """Fused bidiagonalization half-step (see
         ops/pallas_spmv.dia_fused_halfstep):
           forward:  A  (win*c1) - c2*y   with y (m,), win (n,)
           adjoint:  A' (win*c1) - c2*y   with y (n,), win (m,)
-        Returns (out, ssq(out)). Runs the Pallas kernel on TPU, interpret
-        mode elsewhere (tests)."""
-        from .pallas_spmv import dia_fused_halfstep
+        Returns (out, ssq(out)).
 
-        interpret = jax.default_backend() != "tpu"
-        if forward:
-            return dia_fused_halfstep(
-                self.data, y, win, c1, c2,
-                offsets=self.offsets, m=self.m, n=self.n, interpret=interpret,
+        On TPU this uses the product+axpy kernel plus an XLA norm reduction
+        (the all-in-one kernel's combined output layout trips an XLA
+        stack-allocation bug at MB-scale on the current toolchain, see
+        BENCHMARKS.md); elsewhere the all-in-one kernel runs in interpret
+        mode (tests)."""
+        from .pallas_spmv import dia_fused_halfstep, dia_matvec_axpy
+
+        stripes = self.data if forward else self.tdata
+        offs = self.offsets if forward else self.toffsets
+        m_out = self.m if forward else self.n
+        n_in = self.n if forward else self.m
+        if jax.default_backend() == "tpu":
+            out = dia_matvec_axpy(
+                stripes, y, win, c1, c2, offsets=offs, m=m_out, n=n_in
             )
+            ssq = jnp.sum(jnp.square(out.astype(jnp.float32)))
+            return out, ssq
         return dia_fused_halfstep(
-            self.tdata, y, win, c1, c2,
-            offsets=self.toffsets, m=self.n, n=self.m, interpret=interpret,
+            stripes, y, win, c1, c2,
+            offsets=offs, m=m_out, n=n_in, interpret=True,
         )
 
     def matvec(self, x: jax.Array) -> jax.Array:
