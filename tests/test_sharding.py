@@ -79,3 +79,37 @@ def test_sharded_rejects_bad_b(rng):
     A = _random_coo(rng, 64, 32, 200)
     with pytest.raises(ValueError):
         lsqr_sharded(A, np.zeros(63), mesh=make_mesh(4))
+
+
+def test_sharded_dia_matches_unsharded(rng):
+    from lsqr_tpu.ops.structured import dia_operator
+    from lsqr_tpu.parallel.sharding import lsqr_sharded_dia
+
+    m = n = 264  # not divisible by 8 devices -> exercises row padding
+    offsets = (-4, -1, 0, 2, 5)
+    data = rng.standard_normal((len(offsets), m))
+    A = dia_operator(m, n, offsets, data, use_pallas=False)
+    b = rng.standard_normal(m)
+    ref = lt.lsqr(A, b, 0.05, atol=1e-10, btol=1e-10, itnlim=400)
+    res = lsqr_sharded_dia(A, b, 0.05, mesh=make_mesh(8),
+                           atol=1e-10, btol=1e-10, itnlim=400)
+    assert int(res.istop) == int(ref.istop)
+    assert abs(int(res.itn) - int(ref.itn)) <= 3
+    # per-shard masked transpose stripes change the reduction grouping
+    np.testing.assert_allclose(np.asarray(res.x), np.asarray(ref.x), atol=1e-5)
+
+
+def test_sharded_dia_rectangular(rng):
+    from lsqr_tpu.ops.structured import dia_operator
+    from lsqr_tpu.parallel.sharding import lsqr_sharded_dia
+
+    m, n = 200, 300
+    offsets = (-3, 0, 7, 60)
+    data = rng.standard_normal((len(offsets), m))
+    A = dia_operator(m, n, offsets, data, use_pallas=False)
+    b = rng.standard_normal(m)
+    ref = lt.lsqr(A, b, 0.1, atol=1e-9, btol=1e-9, itnlim=300)
+    res = lsqr_sharded_dia(A, b, 0.1, mesh=make_mesh(4),
+                           atol=1e-9, btol=1e-9, itnlim=300)
+    assert int(res.istop) == int(ref.istop)
+    np.testing.assert_allclose(np.asarray(res.x), np.asarray(ref.x), atol=1e-7)
