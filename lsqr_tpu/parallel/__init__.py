@@ -1,0 +1,23 @@
+"""Distributed solves over TPU meshes (no reference analogue — the
+reference is serial Fortran; see SURVEY.md §2.2 and sharding.py for the
+design)."""
+
+from .distributed import global_mesh, initialize_distributed, lsqr_multihost
+from .sharding import (
+    ShardedCOO,
+    lsqr_sharded,
+    lsqr_sharded_dia,
+    make_mesh,
+    shard_coo,
+)
+
+__all__ = [
+    "make_mesh",
+    "shard_coo",
+    "ShardedCOO",
+    "lsqr_sharded",
+    "lsqr_sharded_dia",
+    "global_mesh",
+    "initialize_distributed",
+    "lsqr_multihost",
+]
