@@ -63,6 +63,13 @@ def lsqr_batch(
         opts = opts.replace(**option_overrides)
 
     A = as_operator(A, m=m, n=n)
+    if getattr(A, "prefers_bounded_loop", False):
+        raise ValueError(
+            "lsqr_batch vmaps a lax.while_loop, which does not compose with "
+            "this operator's Pallas kernels on the current TPU toolchain "
+            "(see BENCHMARKS.md); rebuild the operator with use_pallas=False "
+            "for batched solves"
+        )
     B = jnp.asarray(B)
     if B.ndim != 2 or B.shape[1] != A.m:
         raise ValueError(

@@ -120,3 +120,11 @@ def test_right_preconditioning_recovers_solution(rng):
     x = np.asarray(M_inv.matvec(res.x))
     xref, *_ = np.linalg.lstsq(dense, b, rcond=None)
     np.testing.assert_allclose(x, xref, atol=1e-7)
+
+
+def test_batch_rejects_pallas_operator(rng):
+    from lsqr_tpu.ops.structured import dia_operator
+
+    A = dia_operator(50, 50, (0,), np.ones((1, 50)), use_pallas=True)
+    with pytest.raises(ValueError, match="use_pallas=False"):
+        lsqr_batch(A, np.ones((2, 50)))
