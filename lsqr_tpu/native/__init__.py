@@ -29,10 +29,33 @@ _LIB_LOCK = threading.Lock()
 _SRC = os.path.join(os.path.dirname(__file__), "sparse_pack.cpp")
 
 
+def _user_cache_dir() -> str:
+    """Per-user cache dir with 0700 perms (never the shared temp dir: a
+    predictable world-writable path invites another user pre-planting a
+    malicious .so that gets dlopen'd — advisor finding, ADVICE.md round 1)."""
+    base = os.environ.get("XDG_CACHE_HOME") or os.path.join(
+        os.path.expanduser("~"), ".cache"
+    )
+    path = os.path.join(base, "lsqr_tpu")
+    os.makedirs(path, mode=0o700, exist_ok=True)
+    st = os.stat(path)
+    if st.st_uid != os.getuid() or (st.st_mode & 0o022):
+        raise RuntimeError(f"refusing unsafe native build dir {path}")
+    return path
+
+
 def _build_lib() -> str:
-    """Compile the shared library next to the source (or in a temp dir if
-    the package directory is read-only)."""
-    for target_dir in (os.path.dirname(_SRC), tempfile.gettempdir()):
+    """Compile the shared library next to the source, or — if the package
+    directory is read-only — into a per-user 0700 cache directory (ownership
+    and permissions verified before the library is ever dlopen'd)."""
+    candidates = [os.path.dirname(_SRC)]
+    try:
+        candidates.append(_user_cache_dir())
+    except (OSError, RuntimeError):
+        # last resort: a fresh private directory (unique per process; no
+        # pre-plant or concurrent-build race is possible on a new mkdtemp)
+        candidates.append(tempfile.mkdtemp(prefix="lsqr_tpu_native_"))
+    for target_dir in candidates:
         so_path = os.path.join(target_dir, "libsparse_pack.so")
         if os.path.exists(so_path) and os.path.getmtime(so_path) >= os.path.getmtime(_SRC):
             return so_path

@@ -82,6 +82,12 @@ class DIAOperator(LinearOperator):
         return tuple(-k for k in self.offsets)
 
     def _pallas_selected(self, dim: int) -> bool:
+        # The Pallas kernels compute in float32; routing an x64 solve through
+        # them would silently degrade f64 accuracy (advisor finding, ADVICE.md
+        # round 1) — the XLA path preserves the operator dtype, so f64 always
+        # takes it.
+        if self.data.dtype == jnp.float64:
+            return False
         if self.use_pallas is None:
             return dim >= 2_000_000 and jax.default_backend() == "tpu"
         return bool(self.use_pallas)
@@ -368,7 +374,8 @@ class BlockELLOperator(LinearOperator):
     def _pallas_ok(self, x_len: int) -> bool:
         # the block kernel keeps the full gathered vector in VMEM; fall back
         # to the XLA einsum when it would not fit comfortably
-        return bool(self.use_pallas) and x_len * 4 <= 8 * 1024 * 1024
+        itemsize = jnp.dtype(self.dtype).itemsize
+        return bool(self.use_pallas) and x_len * itemsize <= 8 * 1024 * 1024
 
     def matvec(self, x: jax.Array) -> jax.Array:
         xp = _pad_to(x, self.tblocks.shape[0] * self.bw)

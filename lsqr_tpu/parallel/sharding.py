@@ -225,6 +225,8 @@ def lsqr_sharded(
         record_trace=opts.record_trace,
         safe_norms=opts.safe_norms,
         debug_log=opts.debug_log,
+        scalar_dtype=(str(jnp.dtype(opts.scalar_dtype))
+                      if opts.scalar_dtype is not None else None),
     )
     rpd = sharded.m_pad // ndev
     n = sharded.n
@@ -289,6 +291,12 @@ class _LocalDIAShard(LinearOperator):
     offsets: tuple = dataclasses.field(metadata=dict(static=True))
     axis: str = dataclasses.field(metadata=dict(static=True))
     global_m: int = dataclasses.field(metadata=dict(static=True))
+    #: padded global row count (ndev * m). Buffer sizing must use THIS, not
+    #: global_m: when global_m % ndev != 0 the last shard's local rows run to
+    #: global_m_pad, and a buffer sized from global_m lets the dynamic_slice
+    #: start clamp — silently shifting the whole window (advisor finding,
+    #: ADVICE.md round 1).
+    global_m_pad: int = dataclasses.field(metadata=dict(static=True))
 
     @property
     def dtype(self):
@@ -299,11 +307,12 @@ class _LocalDIAShard(LinearOperator):
         return self.axis
 
     def matvec(self, x: jax.Array) -> jax.Array:
-        # local row i (global row0 + i) reads x[row0 + i + k]
+        # local row i (global row0 + i) reads x[row0 + i + k]; the last
+        # shard's rows run to global_m_pad, so the padded x must cover them.
         m, n = self.m, self.n
         ks = self.offsets or (0,)
         lo = max(0, -min(ks))
-        hi = max(0, self.global_m + max(ks) - n)
+        hi = max(0, self.global_m_pad + max(ks) - n)
         xp = jnp.zeros((lo + n + hi,), x.dtype).at[lo : lo + n].set(x)
         y = jnp.zeros((m,), self.dtype)
         for j, k in enumerate(self.offsets):
@@ -317,8 +326,8 @@ class _LocalDIAShard(LinearOperator):
         m, n = self.m, self.n
         ks = self.offsets or (0,)
         lo = max(0, max(ks))
-        hi = max(0, n - min(ks) - self.global_m)
-        ypad = jnp.zeros((lo + self.global_m + hi,), self.dtype)
+        hi = max(0, n - min(ks) - self.global_m_pad)
+        ypad = jnp.zeros((lo + self.global_m_pad + hi,), self.dtype)
         ypad = jax.lax.dynamic_update_slice(ypad, y.astype(self.dtype), (lo + self.row0,))
         out = jnp.zeros((n,), self.dtype)
         for j, k in enumerate(self.offsets):
@@ -387,6 +396,8 @@ def lsqr_sharded_dia(
         record_trace=opts.record_trace,
         safe_norms=opts.safe_norms,
         debug_log=opts.debug_log,
+        scalar_dtype=(str(jnp.dtype(opts.scalar_dtype))
+                      if opts.scalar_dtype is not None else None),
     )
     offsets = A.offsets
 
@@ -408,6 +419,7 @@ def lsqr_sharded_dia(
             offsets=offsets,
             axis=axis_name,
             global_m=m,
+            global_m_pad=m_pad,
         )
         return _lsqr_impl(
             op, b_local.reshape(-1), damp_, atol_, btol_, conlim_, **solver_kw

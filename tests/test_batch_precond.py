@@ -125,6 +125,8 @@ def test_right_preconditioning_recovers_solution(rng):
 def test_batch_rejects_pallas_operator(rng):
     from lsqr_tpu.ops.structured import dia_operator
 
-    A = dia_operator(50, 50, (0,), np.ones((1, 50)), use_pallas=True)
+    # f32: an f64 operator never selects Pallas (its kernels compute in f32)
+    A = dia_operator(50, 50, (0,), np.ones((1, 50), np.float32),
+                     use_pallas=True)
     with pytest.raises(ValueError, match="use_pallas=False"):
-        lsqr_batch(A, np.ones((2, 50)))
+        lsqr_batch(A, np.ones((2, 50), np.float32))

@@ -85,7 +85,7 @@ def test_sharded_dia_matches_unsharded(rng):
     from lsqr_tpu.ops.structured import dia_operator
     from lsqr_tpu.parallel.sharding import lsqr_sharded_dia
 
-    m = n = 264  # not divisible by 8 devices -> exercises row padding
+    m = n = 260  # 260 % 8 = 4 -> genuinely ragged, exercises row padding
     offsets = (-4, -1, 0, 2, 5)
     data = rng.standard_normal((len(offsets), m))
     A = dia_operator(m, n, offsets, data, use_pallas=False)
@@ -97,6 +97,51 @@ def test_sharded_dia_matches_unsharded(rng):
     assert abs(int(res.itn) - int(ref.itn)) <= 3
     # per-shard masked transpose stripes change the reduction grouping
     np.testing.assert_allclose(np.asarray(res.x), np.asarray(ref.x), atol=1e-5)
+
+
+@pytest.mark.parametrize("m,n", [(260, 260), (202, 150), (150, 202)])
+def test_sharded_dia_ragged_fixed_itn_tight(rng, m, n):
+    """Ragged row counts (m % 8 != 0) at MATCHED iteration counts: with a
+    fixed itnlim and zero tolerances both solvers run the identical number
+    of iterations, so x must agree to near machine precision — no hiding
+    room for shard-window or reduction bugs (ADVICE.md high finding: the
+    pre-fix clamped dynamic_slice corrupted the last shard at these sizes).
+    """
+    from lsqr_tpu.ops.structured import dia_operator
+    from lsqr_tpu.parallel.sharding import lsqr_sharded_dia
+
+    offsets = (-7, -1, 0, 1, 6)
+    data = rng.standard_normal((len(offsets), m))
+    A = dia_operator(m, n, offsets, data, use_pallas=False)
+    b = rng.standard_normal(m)
+    ref = lt.lsqr(A, b, 0.05, atol=0.0, btol=0.0, conlim=0.0, itnlim=25)
+    res = lsqr_sharded_dia(A, b, 0.05, mesh=make_mesh(8),
+                           atol=0.0, btol=0.0, conlim=0.0, itnlim=25)
+    assert int(res.itn) == int(ref.itn)
+    # reduction-order rounding amplified over 25 iterations: observed max
+    # ~6e-9 relative on the under-determined case; 1e-7 still catches any
+    # real window/reduction bug (the pre-fix clamp bug gave O(1) errors)
+    np.testing.assert_allclose(np.asarray(res.x), np.asarray(ref.x),
+                               rtol=1e-7, atol=1e-10)
+    np.testing.assert_allclose(float(res.rnorm), float(ref.rnorm), rtol=1e-11)
+    np.testing.assert_allclose(float(res.xnorm), float(ref.xnorm), rtol=1e-9)
+
+
+def test_sharded_coo_fixed_itn_tight(rng):
+    """COO row sharding at matched iteration counts: x and se to ~1e-9
+    (VERDICT.md round-1 item 8 — tightened from the 1e-2/1e-5 band)."""
+    m, n = 197, 120  # ragged: 197 % 8 = 5
+    A = _random_coo(rng, m, n, 6 * m)
+    b = rng.standard_normal(m)
+    ref = lt.lsqr(A, b, 0.1, wantse=True, atol=0.0, btol=0.0, conlim=0.0,
+                  itnlim=30)
+    res = lsqr_sharded(A, b, 0.1, mesh=make_mesh(8), wantse=True,
+                       atol=0.0, btol=0.0, conlim=0.0, itnlim=30)
+    assert int(res.itn) == int(ref.itn)
+    np.testing.assert_allclose(np.asarray(res.x), np.asarray(ref.x),
+                               rtol=1e-7, atol=1e-10)
+    np.testing.assert_allclose(np.asarray(res.se), np.asarray(ref.se),
+                               rtol=1e-7, atol=1e-11)
 
 
 def test_sharded_dia_rectangular(rng):
