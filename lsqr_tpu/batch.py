@@ -27,7 +27,8 @@ __all__ = ["lsqr_batch"]
 @partial(
     jax.jit,
     static_argnames=(
-        "itnlim", "wantse", "nconv", "record_trace", "safe_norms", "debug_log"
+        "itnlim", "wantse", "nconv", "record_trace", "safe_norms", "debug_log",
+        "scalar_dtype",
     ),
 )
 def _batch_impl(A, B, damp, atol, btol, conlim, **static_opts):
@@ -99,4 +100,6 @@ def lsqr_batch(
         record_trace=opts.record_trace,
         safe_norms=opts.safe_norms,
         debug_log=False,  # debug printing is not meaningful under vmap
+        scalar_dtype=(str(jnp.dtype(opts.scalar_dtype))
+                      if opts.scalar_dtype is not None else None),
     )

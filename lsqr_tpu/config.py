@@ -111,6 +111,12 @@ class LSQROptions:
     #: None = auto from the operator's prefers_fused property. Fused norms
     #: are plain (unscaled) sums of squares.
     fused: Optional[bool] = None
+    #: optional WIDER dtype for the scalar recurrence only (e.g. "float64"
+    #: with f32 vectors): the TPU-native mixed-precision robustness mode —
+    #: vectors stream at f32 speed while the O(1)-per-iteration rotations
+    #: and running norm estimates accumulate in f64 (requires x64 enabled).
+    #: None = scalars in the vector dtype (reference behavior).
+    scalar_dtype: Optional[str] = None
 
     def resolve_itnlim(self, n: int) -> int:
         return int(self.itnlim) if self.itnlim is not None else 4 * int(n)

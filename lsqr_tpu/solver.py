@@ -139,28 +139,54 @@ def _build(
     safe_norms: bool,
     debug_log: bool,
     fused: bool = False,
+    scalar_dtype=None,
 ):
     """Construct the solver pieces: (carry0, cond_fun, body_fun, finalize).
 
     Shared by the one-shot solve (:func:`lsqr`) and the segmented
     checkpoint/resume runner (:mod:`lsqr_tpu.utils.checkpoint`) so both run
-    the identical iteration."""
+    the identical iteration.
+
+    ``scalar_dtype``: optional wider dtype for the SCALAR recurrence (the
+    Givens rotations and all running norm estimates, lsqr.f90:703-810) while
+    vectors stay in ``b.dtype`` — the TPU-native mixed-precision mode: f32
+    vectors at full VPU/HBM speed, f64 scalars (O(1) work per iteration)
+    protecting the hundreds-of-iterations accumulations that limit f32
+    convergence (reference precision note, lsqr.f90:429-430)."""
     m, n = A.shape
     dtype = b.dtype
-    zero = jnp.zeros((), dtype)
-    one = jnp.ones((), dtype)
+    sdtype = jnp.dtype(scalar_dtype) if scalar_dtype is not None else dtype
+    mixed = sdtype != dtype
+    if fused and mixed:
+        raise ValueError(
+            "fused half-steps compute in f32 and cannot carry a wider "
+            "scalar_dtype; set fused=False for the mixed-precision mode"
+        )
+
+    def sc(s):  # scalar -> recurrence precision
+        return s.astype(sdtype) if mixed else s
+
+    def vc(s):  # scalar -> vector-op precision
+        return s.astype(dtype) if mixed else s
+
+    zero = jnp.zeros((), sdtype)
+    one = jnp.ones((), sdtype)
+    damp = sc(damp)
+    atol = sc(atol)
+    btol = sc(btol)
+    conlim = sc(conlim)
     axis_m = getattr(A, "axis_name_m", None)
     axis_n = getattr(A, "axis_name_n", None)
 
     def norm_m(vec):
-        return nrm2(vec, safe=safe_norms, axis_name=axis_m)
+        return sc(nrm2(vec, safe=safe_norms, axis_name=axis_m))
 
     def norm_n(vec):
-        return nrm2(vec, safe=safe_norms, axis_name=axis_n)
+        return sc(nrm2(vec, safe=safe_norms, axis_name=axis_n))
 
     def sum_n(vec):
         s = jnp.sum(vec)
-        return jax.lax.psum(s, axis_n) if axis_n is not None else s
+        return sc(jax.lax.psum(s, axis_n) if axis_n is not None else s)
 
     damped = damp > zero
     ctol = jnp.where(conlim > zero, one / jnp.where(conlim > zero, conlim, one), zero)
@@ -172,7 +198,7 @@ def _build(
     u0 = b
     beta0 = norm_m(u0)
     safe_beta0 = jnp.where(beta0 > zero, beta0, one)
-    u0_norm = jnp.where(beta0 > zero, u0 / safe_beta0, u0)
+    u0_norm = jnp.where(beta0 > zero, u0 / vc(safe_beta0), u0)
     v0u = jnp.where(
         beta0 > zero,
         A.rmatvec(u0_norm),
@@ -180,7 +206,7 @@ def _build(
     )
     alpha0 = jnp.where(beta0 > zero, norm_n(v0u), zero)
     safe_alpha0 = jnp.where(alpha0 > zero, alpha0, one)
-    v0_norm = jnp.where(alpha0 > zero, v0u / safe_alpha0, v0u)
+    v0_norm = jnp.where(alpha0 > zero, v0u / vc(safe_alpha0), v0u)
     if fused:
         # fused carry keeps u, v UNNORMALIZED with their norms as scalars
         # (carry.beta = ||u||, carry.alpha = ||v||); the half-step kernels
@@ -203,7 +229,7 @@ def _build(
             [zero, zero, beta0, one,
              jnp.where(beta0 > zero, alpha0 / safe_beta0, zero),
              zero, zero, zero, zero, zero, zero]
-        )
+        ).astype(dtype)
         trace0 = trace0.at[0].set(row0)
 
     carry0 = _Carry(
@@ -273,7 +299,7 @@ def _build(
             v_for_w = v * inv_alpha_new
         else:
             # u := A v - alpha u ; beta = ||u||
-            u = A.matvec(c.v) - c.alpha * c.u
+            u = A.matvec(c.v) - vc(c.alpha) * c.u
             beta = norm_m(u)
 
             # anorm accumulates ||B_k||_F including damp (lsqr.f90:687-689).
@@ -285,12 +311,12 @@ def _build(
             # if alpha > 0: v /= alpha   (lsqr.f90:691-699)
             beta_pos = beta > zero
             safe_beta = jnp.where(beta_pos, beta, one)
-            u = jnp.where(beta_pos, u / safe_beta, u)
-            v_cand = A.rmatvec(u) - beta * c.v
+            u = jnp.where(beta_pos, u / vc(safe_beta), u)
+            v_cand = A.rmatvec(u) - vc(beta) * c.v
             alpha_cand = norm_n(v_cand)
             alpha_pos = alpha_cand > zero
             safe_alpha = jnp.where(alpha_pos, alpha_cand, one)
-            v_cand = jnp.where(alpha_pos, v_cand / safe_alpha, v_cand)
+            v_cand = jnp.where(alpha_pos, v_cand / vc(safe_alpha), v_cand)
             v = jnp.where(beta_pos, v_cand, c.v)
             alpha = jnp.where(beta_pos, alpha_cand, c.alpha)
             v_for_w = v
@@ -320,9 +346,9 @@ def _build(
         t2 = -theta / safe_rho
         t3 = one / safe_rho
         t = c.w
-        x = t1 * t + c.x
-        w = t2 * t + v_for_w
-        dk2 = jnp.square(t3 * t)
+        x = vc(t1) * t + c.x
+        w = vc(t2) * t + v_for_w
+        dk2 = jnp.square(vc(t3) * t)
         dknorm = jnp.sqrt(sum_n(dk2))
         se = c.se + dk2 if wantse else c.se
 
@@ -391,9 +417,9 @@ def _build(
         if record_trace or debug_log:
             x0_val = x[0] if axis_n is None else jax.lax.all_gather(x, axis_n)[0, 0]
             row = jnp.stack(
-                [itn.astype(dtype), x0_val, rnorm, test1, test2,
+                [itn.astype(sdtype), sc(x0_val), rnorm, test1, test2,
                  anorm, acond, phi, dknorm, dxk, alfopt]
-            )
+            ).astype(dtype)
             if record_trace:
                 trace = trace.at[itn].set(row)
             if debug_log:
@@ -435,11 +461,11 @@ def _build(
             t_static = float(gm - gn) if gm > gn else 1.0
             t = jnp.where(
                 damped,
-                jnp.asarray(float(gm), dtype),
-                jnp.asarray(t_static, dtype),
+                jnp.asarray(float(gm), sdtype),
+                jnp.asarray(t_static, sdtype),
             )
             t = final.rnorm / jnp.sqrt(t)
-            se_out = t * jnp.sqrt(final.se)
+            se_out = vc(t) * jnp.sqrt(final.se)
 
         # damped istop 2 -> 3 reclassification (lsqr.f90:871)
         istop = jnp.where(
@@ -497,7 +523,7 @@ def _masked_body(cond_fun, body_fun):
     jax.jit,
     static_argnames=(
         "seg_len", "itnlim", "wantse", "nconv", "record_trace", "safe_norms",
-        "debug_log", "fused",
+        "debug_log", "fused", "scalar_dtype",
     ),
 )
 def _segment_fori(A, b, damp, atol, btol, conlim, carry, *, seg_len, **static_opts):
@@ -515,7 +541,7 @@ def _segment_fori(A, b, damp, atol, btol, conlim, carry, *, seg_len, **static_op
     jax.jit,
     static_argnames=(
         "itnlim", "wantse", "nconv", "record_trace", "safe_norms", "debug_log",
-        "fused",
+        "fused", "scalar_dtype",
     ),
 )
 def _finalize_only(A, b, damp, atol, btol, conlim, carry, **static_opts):
@@ -547,7 +573,7 @@ _lsqr_jit = jax.jit(
     _lsqr_impl,
     static_argnames=(
         "itnlim", "wantse", "nconv", "record_trace", "safe_norms", "debug_log",
-        "fused",
+        "fused", "scalar_dtype",
     ),
 )
 
@@ -620,6 +646,15 @@ def lsqr(
             f"{type(A).__name__} does not implement fused_halfstep; "
             "set fused=False"
         )
+    scalar_dtype = opts.scalar_dtype
+    if scalar_dtype is not None:
+        scalar_dtype = str(jnp.dtype(scalar_dtype))
+        if scalar_dtype == "float64" and not jax.config.jax_enable_x64:
+            raise ValueError(
+                "scalar_dtype='float64' requires x64 mode "
+                "(lsqr_tpu.enable_x64()); without it JAX silently demotes "
+                "f64 to f32 and the mixed-precision mode would be a no-op"
+            )
     kwargs = dict(
         itnlim=itnlim,
         wantse=opts.wantse,
@@ -628,6 +663,7 @@ def lsqr(
         safe_norms=opts.safe_norms,
         debug_log=opts.debug_log,
         fused=fused,
+        scalar_dtype=scalar_dtype,
     )
     args = (
         A,

@@ -34,7 +34,8 @@ __all__ = ["lsqr_checkpointed", "save_state", "load_state"]
 @partial(
     jax.jit,
     static_argnames=(
-        "itnlim", "wantse", "nconv", "record_trace", "safe_norms", "debug_log"
+        "itnlim", "wantse", "nconv", "record_trace", "safe_norms", "debug_log",
+        "scalar_dtype",
     ),
 )
 def _segment(A, b, damp, atol, btol, conlim, carry, stop_at, **static_opts):
@@ -52,7 +53,8 @@ def _segment(A, b, damp, atol, btol, conlim, carry, stop_at, **static_opts):
 @partial(
     jax.jit,
     static_argnames=(
-        "itnlim", "wantse", "nconv", "record_trace", "safe_norms", "debug_log"
+        "itnlim", "wantse", "nconv", "record_trace", "safe_norms", "debug_log",
+        "scalar_dtype",
     ),
 )
 def _finalize(A, b, damp, atol, btol, conlim, carry, **static_opts):
@@ -125,6 +127,8 @@ def lsqr_checkpointed(
         record_trace=opts.record_trace,
         safe_norms=opts.safe_norms,
         debug_log=opts.debug_log,
+        scalar_dtype=(str(jnp.dtype(opts.scalar_dtype))
+                      if opts.scalar_dtype is not None else None),
     )
     args = (
         A,

@@ -17,7 +17,35 @@ import numpy as np
 
 from ..solver import ISTOP_MESSAGES, LSQRResult
 
-__all__ = ["format_iteration_log", "format_exit_block", "format_report"]
+__all__ = [
+    "format_header",
+    "format_iteration_log",
+    "format_exit_block",
+    "format_report",
+]
+
+
+def format_header(
+    m: int,
+    n: int,
+    *,
+    damp: float = 0.0,
+    atol: float = 0.0,
+    btol: float = 0.0,
+    conlim: float = 0.0,
+    itnlim: int = 0,
+    wantse: bool = False,
+) -> str:
+    """The reference's named 'Enter LSQR' parameter-echo block
+    (lsqr.f90:589-595): problem shape, damp, tolerances and limits, printed
+    before the iteration log."""
+    return (
+        "\n Enter LSQR.       Least-squares solution of  Ax = b\n"
+        f" The matrix  A  has{m:7d} rows   and{n:7d} columns\n"
+        f" damp   = {damp: .14e}   wantse ={str(wantse).upper():>10s}\n"
+        f" atol   = {atol: .2e}               conlim = {conlim: .2e}\n"
+        f" btol   = {btol: .2e}               itnlim ={itnlim:10d}\n"
+    )
 
 
 def _throttle_mask(itns, itnlim, n):
@@ -93,9 +121,26 @@ def format_exit_block(result: LSQRResult) -> str:
     return "\n".join(lines) + "\n"
 
 
-def format_report(result: LSQRResult, **log_kwargs) -> str:
-    """Full report: iteration log (if recorded) + exit block."""
+def format_report(
+    result: LSQRResult,
+    *,
+    m: Optional[int] = None,
+    header_params: Optional[dict] = None,
+    **log_kwargs,
+) -> str:
+    """Full LIS-style report: parameter-echo header (when the problem shape
+    is given), iteration log (if recorded), exit block.
+
+    Args:
+      m: row count of A; together with ``n`` (a log kwarg) enables the
+        header block.
+      header_params: optional dict of damp/atol/btol/conlim/itnlim/wantse
+        forwarded to :func:`format_header`.
+    """
     parts = []
+    n = log_kwargs.get("n")
+    if m is not None and n is not None:
+        parts.append(format_header(m, n, **(header_params or {})))
     if result.trace is not None:
         parts.append(format_iteration_log(result, **log_kwargs))
     parts.append(format_exit_block(result))

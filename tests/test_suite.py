@@ -23,8 +23,9 @@ import lsqr_tpu as lt
 from lsqr_tpu.models.paige_saunders import lstp, suite_configs
 from lsqr_tpu.ops.blas import nrm2
 
-# (m, n, npower, LIS itn, LIS rel.err, expected_pass) — BASELINE.md table,
-# sources test/LSQR.LIS.
+# (m, n, npower) -> (LIS itn, LIS rel.err, expected_pass) — BASELINE.md
+# table, sources test/LSQR.LIS. LIS itn counts (g77/Xeon era) are kept as
+# DOCUMENTATION; the pinned regression values are MEASURED_ITN below.
 LIS_EXPECTATIONS = {
     (2000, 1000, 2): (72, 9.37e-14, True),
     (2000, 1000, 3): (105, 4.06e-11, True),
@@ -44,6 +45,61 @@ LIS_EXPECTATIONS = {
     (1000, 2000, 5): (330, 1.04e-10, True),
     (1000, 2000, 6): (512, 2.25e-09, True),
     (1000, 2000, 7): (758, 2.67e-08, True),
+}
+
+# Iteration counts MEASURED by this implementation (CPU x64, deterministic):
+# pinned to +-3 so a recurrence regression that shifts convergence shows up
+# immediately (VERDICT.md round-1 item 3 — the old +-25%-of-LIS band could
+# hide a 20% slowdown). Counts are rounding-sensitive (lsqr.f90:429-430);
+# ours run 0-7% below the 2005 g77 listing.
+MEASURED_ITN = {
+    (2000, 1000, 2): 67,
+    (2000, 1000, 3): 103,
+    (2000, 1000, 4): 151,
+    (2000, 1000, 5): 203,
+    (2000, 1000, 6): 202,
+    (2000, 1000, 7): 187,
+    (1000, 1000, 2): 98,
+    (1000, 1000, 3): 158,
+    (1000, 1000, 4): 209,
+    (1000, 1000, 5): 318,
+    (1000, 1000, 6): 488,
+    (1000, 1000, 7): 706,
+    (1000, 2000, 2): 96,
+    (1000, 2000, 3): 170,
+    (1000, 2000, 4): 214,
+    (1000, 2000, 5): 325,
+    (1000, 2000, 6): 483,
+    (1000, 2000, 7): 701,
+}
+
+# Exit-block norm estimates recorded in the golden listing: (anorm, acond,
+# bnorm, xnorm, rnorm, arnorm) per problem, from the 'Exit LSQR' blocks
+# (/root/reference/test/LSQR.LIS:52-58 and the 17 analogous blocks).
+# bnorm/xnorm/rnorm are properties of the converged solve and match to the
+# listing's 6 printed digits; anorm/acond are RUNNING estimates accumulated
+# to the (slightly different) stopping iteration, so they carry an itn-
+# dependent band; arnorm is noise-level at convergence (order-of-magnitude
+# check only).
+LIS_EXIT_NORMS = {
+    (2000, 1000, 2): (4.94062e0, 3.22385e3, 1.25076e3, 1.82711e3, 3.16228e1, 2.35170e-15),
+    (2000, 1000, 3): (5.68664e0, 8.96364e4, 1.12476e3, 1.82711e3, 3.16228e1, 5.26981e-14),
+    (2000, 1000, 4): (6.58996e0, 2.57947e6, 1.03680e3, 1.82711e3, 3.16228e1, 8.19002e-15),
+    (2000, 1000, 5): (7.77584e0, 7.59737e7, 9.71549e2, 1.82711e3, 3.16228e1, 1.37365e-14),
+    (2000, 1000, 6): (7.40911e0, 2.83762e7, 9.21079e2, 1.82706e3, 3.16228e1, 1.51381e-14),
+    (2000, 1000, 7): (7.09548e0, 1.99869e7, 8.80846e2, 1.82666e3, 3.16228e1, 3.45841e-14),
+    (1000, 1000, 2): (5.83666e0, 5.36980e3, 1.25036e3, 1.82711e3, 1.82711e-5, 3.29871e-20),
+    (1000, 1000, 3): (7.22692e0, 1.61087e5, 1.12431e3, 1.82711e3, 1.82711e-6, 1.66113e-23),
+    (1000, 1000, 4): (8.05840e0, 3.16065e6, 1.03632e3, 1.82711e3, 1.82711e-7, 2.11090e-22),
+    (1000, 1000, 5): (9.23868e0, 9.03112e7, 9.71035e2, 1.82711e3, 1.82711e-8, 4.94552e-23),
+    (1000, 1000, 6): (1.12949e1, 2.75822e9, 9.20536e2, 1.82711e3, 1.82711e-9, 2.63909e-24),
+    (1000, 1000, 7): (1.38114e1, 8.43030e10, 8.80278e2, 1.82711e3, 1.82711e-10, 2.82782e-25),
+    (1000, 2000, 2): (5.83659e0, 5.36973e3, 1.24934e3, 1.82711e3, 1.82711e-5, 6.00127e-21),
+    (1000, 2000, 3): (6.75962e0, 1.07441e5, 1.12336e3, 1.82711e3, 1.82711e-6, 2.99870e-21),
+    (1000, 2000, 4): (8.13520e0, 3.19077e6, 1.03550e3, 1.82711e3, 1.82711e-7, 3.65295e-22),
+    (1000, 2000, 5): (9.42730e0, 9.21551e7, 9.70353e2, 1.82711e3, 1.82711e-8, 2.79529e-23),
+    (1000, 2000, 6): (1.15326e1, 2.81628e9, 9.19970e2, 1.82711e3, 1.82711e-9, 1.41815e-25),
+    (1000, 2000, 7): (1.38884e1, 8.47732e10, 8.79805e2, 1.82711e3, 1.82711e-10, 4.41016e-25),
 }
 
 CONFIGS = list(suite_configs())
@@ -75,6 +131,29 @@ def test_paige_saunders_problem(m, n, nduplc, npower, damp):
     lis_itn, lis_err, expect_pass = LIS_EXPECTATIONS[(m, n, npower)]
     assert int(res.istop) == 3, f"istop={int(res.istop)} (LIS: 3)"
 
+    # exit-block norm parity vs the golden listing (LSQR.LIS:52-58 et al.):
+    # the part of the characterization most sensitive to recurrence bugs
+    # (VERDICT.md round-1 item 3).
+    anorm_l, acond_l, bnorm_l, xnorm_l, rnorm_l, arnorm_l = (
+        LIS_EXIT_NORMS[(m, n, npower)]
+    )
+    np.testing.assert_allclose(float(res.bnorm), bnorm_l, rtol=1e-4)
+    np.testing.assert_allclose(float(res.xnorm), xnorm_l, rtol=1e-4)
+    np.testing.assert_allclose(float(res.rnorm), rnorm_l, rtol=1e-4)
+    # anorm/acond are running estimates accumulated to the stopping
+    # iteration, which differs a few % from the 2005 listing; measured
+    # deviations are <=6% (anorm) and <=48% (acond, via dnorm at the
+    # (1000,2000,3) itn gap) — band accordingly.
+    np.testing.assert_allclose(float(res.anorm), anorm_l, rtol=0.10)
+    assert acond_l / 2 <= float(res.acond) <= 2 * acond_l, (
+        f"acond={float(res.acond):.3e}, LIS={acond_l:.3e}"
+    )
+    # arnorm is noise-level at convergence: same order of magnitude or
+    # better (measured worst case 99x above the listing's)
+    assert float(res.arnorm) <= 1e3 * arnorm_l, (
+        f"arnorm={float(res.arnorm):.3e}, LIS={arnorm_l:.3e}"
+    )
+
     # xcheck classification (lsqrtest_module.f90:216-218): solves one of
     # the three systems.
     xc = lt.xcheck(prob.A, b=prob.b, x=res.x, damp=damp, anorm=res.anorm)
@@ -95,10 +174,12 @@ def test_paige_saunders_problem(m, n, nduplc, npower, damp):
         # same ballpark misfit, not success (lsqrtest_module.f90:110-115)
         assert enorm <= 0.2
 
-    # iteration-count parity with the golden listing (+-25%, f64)
+    # iteration-count regression pin: measured-actual +-3 (VERDICT.md
+    # round-1 item 3; the LIS count documents the reference era's value)
     itn = int(res.itn)
-    assert abs(itn - lis_itn) <= max(5, int(0.25 * lis_itn)), (
-        f"itn={itn}, LIS={lis_itn}"
+    measured = MEASURED_ITN[(m, n, npower)]
+    assert abs(itn - measured) <= 3, (
+        f"itn={itn}, pinned={measured} (LIS: {lis_itn})"
     )
 
 

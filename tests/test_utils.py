@@ -87,10 +87,17 @@ def test_zero_rhs_segmented(rng):
 def test_report_formatting(rng):
     A, b = _problem(rng)
     res = lt.lsqr(A, b, 0.1, record_trace=True, atol=1e-8, btol=1e-8, itnlim=200)
-    report = format_report(res, n=A.n, itnlim=200, damped=True)
+    report = format_report(
+        res, m=A.m, n=A.n, itnlim=200, damped=True,
+        header_params=dict(damp=0.1, atol=1e-8, btol=1e-8, itnlim=200),
+    )
     assert "Itn" in report and "Norm Abar" in report
     assert "Exit  LSQR" in report
     assert "damped least-squares solution" in report
+    # parameter-echo header block (lsqr.f90:589-595)
+    assert "Enter LSQR" in report
+    assert f"The matrix  A  has{A.m:7d} rows   and{A.n:7d} columns" in report
+    assert "damp   =" in report and "itnlim =" in report
     # exit block alone works without a trace
     res2 = lt.lsqr(A, b, 0.0, itnlim=200)
     block = format_exit_block(res2)
