@@ -188,6 +188,20 @@ def shard_coo(A: COOOperator, ndev: int) -> ShardedCOO:
     )
 
 
+def _globalize(mesh: Mesh, *arrays):
+    """Multi-process support: convert replicated host-local arrays into
+    global jax.Arrays over ``mesh`` (every process passes identical values —
+    the SPMD calling convention of lsqr_multihost). No-op single-process."""
+    if jax.process_count() == 1:
+        return arrays
+    from jax.experimental import multihost_utils
+
+    return tuple(
+        multihost_utils.host_local_array_to_global_array(np.asarray(a), mesh, P())
+        for a in arrays
+    )
+
+
 def lsqr_sharded(
     A,
     b,
@@ -278,14 +292,17 @@ def lsqr_sharded(
         )
 
     res = jax.jit(run)(
-        sharded.vals.astype(dtype),
-        sharded.rows,
-        sharded.cols,
-        b_pad,
-        jnp.asarray(damp, dtype),
-        jnp.asarray(opts.atol, dtype),
-        jnp.asarray(opts.btol, dtype),
-        jnp.asarray(opts.conlim, dtype),
+        *_globalize(
+            mesh,
+            sharded.vals.astype(dtype),
+            sharded.rows,
+            sharded.cols,
+            b_pad,
+            jnp.asarray(damp, dtype),
+            jnp.asarray(opts.atol, dtype),
+            jnp.asarray(opts.btol, dtype),
+            jnp.asarray(opts.conlim, dtype),
+        )
     )
     return res
 
@@ -659,12 +676,15 @@ def lsqr_sharded_2d(
         return res._replace(x=x_full, se=se_full)
 
     return jax.jit(run)(
-        vals_s.astype(dtype),
-        rows_s,
-        cols_s,
-        b_pad,
-        jnp.asarray(damp, dtype),
-        jnp.asarray(opts.atol, dtype),
-        jnp.asarray(opts.btol, dtype),
-        jnp.asarray(opts.conlim, dtype),
+        *_globalize(
+            mesh,
+            vals_s.astype(dtype),
+            rows_s,
+            cols_s,
+            b_pad,
+            jnp.asarray(damp, dtype),
+            jnp.asarray(opts.atol, dtype),
+            jnp.asarray(opts.btol, dtype),
+            jnp.asarray(opts.conlim, dtype),
+        )
     )
