@@ -19,7 +19,7 @@ import jax.numpy as jnp
 
 from .config import LSQROptions
 from .ops.linop import as_operator
-from .solver import LSQRResult, _lsqr_impl
+from .solver import LSQRResult, _build, _lsqr_impl, _masked_body
 
 __all__ = ["lsqr_batch"]
 
@@ -36,6 +36,67 @@ def _batch_impl(A, B, damp, atol, btol, conlim, **static_opts):
         return _lsqr_impl(A, b, d, atol, btol, conlim, **static_opts)
 
     return jax.vmap(solve_one)(B, damp)
+
+
+_BATCH_STATICS = (
+    "itnlim", "wantse", "nconv", "record_trace", "safe_norms", "debug_log",
+    "scalar_dtype", "seg_len", "first",
+)
+
+
+@partial(jax.jit, static_argnames=_BATCH_STATICS)
+def _batch_segment(A, B, damp, atol, btol, conlim, carry, *, seg_len, first,
+                   **static_opts):
+    """One fixed-length masked-fori segment for every problem in the batch
+    (static trip count — the loop form that composes with Pallas kernels;
+    see solver._segment_fori)."""
+
+    def one(b, d, c):
+        carry0, cond_fun, body_fun, _ = _build(
+            A, b, d, atol, btol, conlim, **static_opts
+        )
+        c = carry0 if first else c
+        return jax.lax.fori_loop(
+            0, seg_len, _masked_body(cond_fun, body_fun), c, unroll=False
+        )
+
+    if first:
+        return jax.vmap(lambda b, d: one(b, d, None))(B, damp)
+    return jax.vmap(one)(B, damp, carry)
+
+
+@partial(jax.jit, static_argnames=_BATCH_STATICS[:-2])
+def _batch_finalize(A, B, damp, atol, btol, conlim, carry, **static_opts):
+    def one(b, d, c):
+        _, _, _, finalize = _build(A, b, d, atol, btol, conlim, **static_opts)
+        return finalize(c)
+
+    return jax.vmap(one)(B, damp, carry)
+
+
+def _batch_bounded(A, B, damp, atol, btol, conlim, *, seg_len, itnlim,
+                   **static_opts):
+    """Host-stepped batched solve in fixed-size fori segments: the batched
+    analogue of solver._lsqr_bounded. Each problem's carry freezes once its
+    own stopping test fires; the host loop exits when every problem has
+    stopped (or no problem makes progress — degenerate all-zero setups)."""
+    carry = None
+    kwargs = dict(itnlim=itnlim, **static_opts)
+    sl = min(seg_len, itnlim) if itnlim > 0 else seg_len
+    first = True
+    while True:
+        prev_itn = int(jnp.sum(carry.itn)) if carry is not None else -1
+        carry = _batch_segment(
+            A, B, damp, atol, btol, conlim, carry,
+            seg_len=sl, first=first, **kwargs,
+        )
+        first = False
+        done = bool(
+            jnp.all((carry.istop != 0) | (carry.itn >= itnlim))
+        )
+        if done or int(jnp.sum(carry.itn)) == prev_itn:
+            break
+    return _batch_finalize(A, B, damp, atol, btol, conlim, carry, **kwargs)
 
 
 def lsqr_batch(
@@ -64,13 +125,14 @@ def lsqr_batch(
         opts = opts.replace(**option_overrides)
 
     A = as_operator(A, m=m, n=n)
-    if getattr(A, "prefers_bounded_loop", False):
-        raise ValueError(
-            "lsqr_batch vmaps a lax.while_loop, which does not compose with "
-            "this operator's Pallas kernels on the current TPU toolchain "
-            "(see BENCHMARKS.md); rebuild the operator with use_pallas=False "
-            "for batched solves"
-        )
+    loop = opts.loop
+    if loop is None:
+        # operators whose products are Pallas kernels need the static-trip-
+        # count loop form on backends where pallas inside lax.while_loop
+        # misbehaves (BENCHMARKS.md); the batched bounded runner below
+        # composes vmap with masked fori segments instead of raising
+        # (VERDICT.md round-1 item 7)
+        loop = "bounded" if getattr(A, "prefers_bounded_loop", False) else "while"
     B = jnp.asarray(B)
     if B.ndim != 2 or B.shape[1] != A.m:
         raise ValueError(
@@ -87,14 +149,8 @@ def lsqr_batch(
     batch = B.shape[0]
     damp_arr = jnp.broadcast_to(jnp.asarray(damp, dtype), (batch,))
 
-    return _batch_impl(
-        A,
-        B,
-        damp_arr,
-        jnp.asarray(opts.atol, dtype),
-        jnp.asarray(opts.btol, dtype),
-        jnp.asarray(opts.conlim, dtype),
-        itnlim=opts.resolve_itnlim(A.n),
+    itnlim = opts.resolve_itnlim(A.n)
+    kwargs = dict(
         wantse=opts.wantse,
         nconv=opts.nconv,
         record_trace=opts.record_trace,
@@ -103,3 +159,16 @@ def lsqr_batch(
         scalar_dtype=(str(jnp.dtype(opts.scalar_dtype))
                       if opts.scalar_dtype is not None else None),
     )
+    args = (
+        A,
+        B,
+        damp_arr,
+        jnp.asarray(opts.atol, dtype),
+        jnp.asarray(opts.btol, dtype),
+        jnp.asarray(opts.conlim, dtype),
+    )
+    if loop == "bounded":
+        return _batch_bounded(
+            *args, seg_len=opts.loop_segment, itnlim=itnlim, **kwargs
+        )
+    return _batch_impl(*args, itnlim=itnlim, **kwargs)

@@ -122,11 +122,67 @@ def test_right_preconditioning_recovers_solution(rng):
     np.testing.assert_allclose(x, xref, atol=1e-7)
 
 
-def test_batch_rejects_pallas_operator(rng):
+def test_batch_bounded_matches_while_loop(rng):
+    """The batched bounded runner (vmapped masked-fori segments — the loop
+    form Pallas-product operators require, VERDICT.md round-1 item 7)
+    matches the vmapped while_loop solve and per-problem sequential solves."""
     from lsqr_tpu.ops.structured import dia_operator
 
-    # f32: an f64 operator never selects Pallas (its kernels compute in f32)
-    A = dia_operator(50, 50, (0,), np.ones((1, 50), np.float32),
-                     use_pallas=True)
-    with pytest.raises(ValueError, match="use_pallas=False"):
-        lsqr_batch(A, np.ones((2, 50), np.float32))
+    m = n = 96
+    offsets = (-2, 0, 3)
+    data = rng.standard_normal((len(offsets), m))
+    A = dia_operator(m, n, offsets, data, use_pallas=False)
+    B = rng.standard_normal((4, m))
+    damp = np.array([0.0, 0.05, 0.2, 1.0])
+
+    res_w = lsqr_batch(A, B, damp, atol=1e-10, btol=1e-10, itnlim=300,
+                       wantse=True)
+    res_b = lsqr_batch(A, B, damp, atol=1e-10, btol=1e-10, itnlim=300,
+                       wantse=True, loop="bounded", loop_segment=32)
+    np.testing.assert_array_equal(np.asarray(res_b.itn), np.asarray(res_w.itn))
+    np.testing.assert_array_equal(np.asarray(res_b.istop),
+                                  np.asarray(res_w.istop))
+    # masked-fori and while_loop run the identical iteration body
+    np.testing.assert_allclose(np.asarray(res_b.x), np.asarray(res_w.x),
+                               rtol=1e-12, atol=1e-14)
+    np.testing.assert_allclose(np.asarray(res_b.se), np.asarray(res_w.se),
+                               rtol=1e-12, atol=1e-14)
+    # and both match per-problem sequential solves
+    for i in range(B.shape[0]):
+        ref = lt.lsqr(A, B[i], float(damp[i]), atol=1e-10, btol=1e-10,
+                      itnlim=300)
+        np.testing.assert_allclose(np.asarray(res_b.x[i]), np.asarray(ref.x),
+                                   atol=1e-9)
+
+
+def test_batch_accepts_bounded_preferring_operator(rng):
+    """Operators advertising prefers_bounded_loop (the Pallas-product
+    operators on TPU) now auto-route to the bounded batched runner instead
+    of raising (restriction lifted). On CPU we exercise the dispatch with a
+    wrapper that advertises the preference over XLA products."""
+    import dataclasses
+
+    import jax
+
+    from lsqr_tpu.ops.structured import DIAOperator, dia_operator
+
+    @jax.tree_util.register_dataclass
+    @dataclasses.dataclass(frozen=True)
+    class _BoundedPreferringDIA(DIAOperator):
+        @property
+        def prefers_bounded_loop(self):
+            return True
+
+    m = n = 64
+    data = rng.standard_normal((1, m)).astype(np.float32) + 3.0
+    Aref = dia_operator(m, n, (0,), data, use_pallas=False)
+    A = _BoundedPreferringDIA(
+        data=Aref.data, tdata=Aref.tdata, m=m, n=n, offsets=Aref.offsets,
+        use_pallas=False,
+    )
+    B = rng.standard_normal((3, m)).astype(np.float32)
+    res = lsqr_batch(A, B, 0.01, atol=1e-6, btol=1e-6, itnlim=200)
+    ref = lsqr_batch(Aref, B, 0.01, atol=1e-6, btol=1e-6, itnlim=200)
+    np.testing.assert_array_equal(np.asarray(res.itn), np.asarray(ref.itn))
+    np.testing.assert_allclose(np.asarray(res.x), np.asarray(ref.x),
+                               rtol=1e-5, atol=1e-6)
