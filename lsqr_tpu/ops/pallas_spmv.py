@@ -26,7 +26,14 @@ import jax.numpy as jnp
 from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
 
-__all__ = ["block_ell_matvec", "dia_matvec", "dia_matvec_axpy", "dia_fused_halfstep"]
+__all__ = [
+    "block_ell_matvec",
+    "block_ell_matvec_windowed",
+    "dia_matvec",
+    "dia_matvec_axpy",
+    "dia_fused_halfstep",
+    "jdia_matvec",
+]
 
 
 # ---------------------------------------------------------------------------
@@ -96,6 +103,130 @@ def block_ell_matvec(blocks, bcols, x, *, interpret=False):
             transcendentals=0,
         ),
     )(bcols, x2, blocks)
+    return out.reshape(mb * bh)
+
+
+def _block_ell_win_kernel(
+    tr, bcols_ref, blocks_ref, x_hbm, out_ref, xs0, xs1, sem
+):
+    """One grid step = ``tr`` block-rows with HBM-resident x.
+
+    The x segments each block needs (bcols known ahead via scalar prefetch)
+    are DMA'd into a (tr, kb, bw) VMEM scratch, double-buffered across grid
+    steps: while step t computes, step t+1's segments stream in. Removes
+    the whole-x-in-VMEM requirement of the original kernel (the 8MB guard,
+    VERDICT.md round-1 weak item 3) and amortizes grid-step overhead over
+    tr block-rows.
+    """
+    t = pl.program_id(0)
+    nt = pl.num_programs(0)
+    kb = blocks_ref.shape[1]
+    bh = blocks_ref.shape[2]
+    bw = blocks_ref.shape[3]
+    bufs = (xs0, xs1)
+
+    def start_tile_dmas(slot, tile):
+        # kb * tr independent segment copies; each signals sem[slot] once
+        for r in range(tr):
+            for j in range(kb):
+                c = bcols_ref[tile * tr + r, j]
+                pltpu.make_async_copy(
+                    x_hbm.at[c], bufs[slot].at[r, j], sem.at[slot]
+                ).start()
+
+    def wait_tile_dmas(slot):
+        # one wait per started copy (semaphore counts down tr*kb signals)
+        for _ in range(tr * kb):
+            pltpu.make_async_copy(
+                x_hbm.at[0], bufs[slot].at[0, 0], sem.at[slot]
+            ).wait()
+
+    @pl.when(t == 0)
+    def _():
+        start_tile_dmas(0, 0)
+
+    even = t % 2 == 0
+
+    @pl.when((t + 1 < nt) & even)
+    def _():
+        start_tile_dmas(1, t + 1)
+
+    @pl.when((t + 1 < nt) & jnp.logical_not(even))
+    def _():
+        start_tile_dmas(0, t + 1)
+
+    @pl.when(even)
+    def _():
+        wait_tile_dmas(0)
+
+    @pl.when(jnp.logical_not(even))
+    def _():
+        wait_tile_dmas(1)
+
+    xseg = jnp.where(even, xs0[:], xs1[:])  # (tr, kb, bw)
+    # (tr, kb, bh, bw) x (tr, kb, bw) -> (tr, bh): batched small matmuls on
+    # the MXU via dot_general with tr*kb as a flat batch
+    blocks = blocks_ref[:].reshape(tr * kb, bh, bw)
+    xflat = xseg.reshape(tr * kb, bw, 1)
+    prod = jax.lax.dot_general(
+        blocks, xflat,
+        dimension_numbers=(((2,), (1,)), ((0,), (0,))),
+        preferred_element_type=jnp.float32,
+    )  # (tr*kb, bh, 1)
+    acc = jnp.sum(prod.reshape(tr, kb, bh), axis=1)
+    out_ref[:, :] = acc.astype(out_ref.dtype)
+
+
+@functools.partial(jax.jit, static_argnames=("interpret", "tr"))
+def block_ell_matvec_windowed(blocks, bcols, x, *, interpret=False, tr=None):
+    """y = A @ x for a BlockELL matrix with x left in HBM.
+
+    blocks: (mb, kb, bh, bw); bcols: (mb, kb) int32; x: (nb*bw,).
+    Returns y: (mb*bh,). ``tr`` = block-rows per grid step.
+    """
+    mb, kb, bh, bw = blocks.shape
+    if tr is None:
+        # amortize grid-step overhead; keep the double-buffered block tile
+        # (2 * tr * kb * bh * bw * 4B) well under VMEM
+        tr = 8 if mb >= 8 else 1
+    while mb % tr:
+        tr -= 1
+    nt = mb // tr
+    nb = x.shape[0] // bw
+    x2 = x.reshape(nb, bw)
+
+    grid_spec = pltpu.PrefetchScalarGridSpec(
+        num_scalar_prefetch=1,
+        grid=(nt,),
+        in_specs=[
+            pl.BlockSpec(
+                (tr, kb, bh, bw),
+                lambda t, bcols: (t, 0, 0, 0),
+                memory_space=pltpu.VMEM,
+            ),
+            pl.BlockSpec(memory_space=pl.ANY),  # x stays in HBM
+        ],
+        out_specs=pl.BlockSpec(
+            (tr, bh), lambda t, bcols: (t, 0), memory_space=pltpu.VMEM
+        ),
+        scratch_shapes=[
+            pltpu.VMEM((tr, kb, bw), blocks.dtype),
+            pltpu.VMEM((tr, kb, bw), blocks.dtype),
+            pltpu.SemaphoreType.DMA((2,)),
+        ],
+    )
+    out = pl.pallas_call(
+        functools.partial(_block_ell_win_kernel, tr),
+        grid_spec=grid_spec,
+        out_shape=jax.ShapeDtypeStruct((mb, bh), blocks.dtype),
+        interpret=interpret,
+        cost_estimate=pl.CostEstimate(
+            flops=2 * mb * kb * bh * bw,
+            bytes_accessed=blocks.size * blocks.dtype.itemsize
+            + mb * kb * bw * x.dtype.itemsize,
+            transcendentals=0,
+        ),
+    )(bcols, blocks, x2)
     return out.reshape(mb * bh)
 
 
@@ -428,3 +559,304 @@ def dia_matvec_axpy(data, y, win_vec, c1, c2, *, offsets, m, n, interpret=False,
         interpret=interpret,
     )(data, y, sc, xp)
     return out
+
+
+# ---------------------------------------------------------------------------
+# JDIA — jittered-diagonal SpMV (the general-sparsity streaming kernel)
+# ---------------------------------------------------------------------------
+#
+# Measured constraint (BENCHMARKS.md round 2): the ONLY vectorized indexed
+# access the hardware offers is tpu.dynamic_gather over per-sublane 128-wide
+# tables ((8, 128) take_along_axis); XLA's generic gather runs the ELL
+# x[cols] at 0.12 Gnnz/s. A general-sparsity kernel therefore cannot index
+# arbitrary columns — but it can index SMALL DEVIATIONS from a per-slot
+# diagonal:
+#
+#   col[i, j] = i + d[tile, j] + e[i, j],     |e| <= JITTER
+#
+# (the "jittered diagonal" — what a banded/locality-bearing matrix looks
+# like after bandwidth-reducing reordering, with per-row irregularity that
+# plain DIA storage would pad away). Entries that fit no slot within the
+# jitter budget are split out at pack time into a small COO remainder that
+# the operator applies with segment_sum.
+#
+# Kernel layout: rows in tiles of TM (TM = 8*128*q); per (tile, slot) the
+# window base b = tile_row0 + d is prefetched; x lives padded in HBM and the
+# tile's full span is DMA'd into a VMEM window (double-buffered, as in
+# dia_matvec). Per (slot, 1024-row group): two overlapping (8, 128) tables
+# T0 = win[s : s+1024], T1 = win[s+64 : s+64+1024] reshaped so sublane i
+# covers rows [128i, 128(i+1)); the relative index r = lane + e + JITTER in
+# [0, 192) is resolved as r < 128 -> T0[r], else T1[r - 64]. Two
+# dynamic_gathers + a select per 1024 entries.
+
+JDIA_JITTER = 32  # |e| budget; r = lane + e + 32 in [0, 192) with two tables
+
+
+def _jdia_kernel(
+    ns, tm, win, base_ref, data_ref, eoff_ref, x_hbm, out_ref,
+    xw0_ref, xw1_ref, sem
+):
+    """One grid step = one row tile of tm rows (tm % 1024 == 0).
+
+    NOTE argument order: the scalar-prefetched ``base_ref`` arrives FIRST
+    (PrefetchScalarGridSpec convention), then the pipelined tensor inputs.
+
+    data_ref: (ns, tm) slot values, VMEM-pipelined.
+    eoff_ref: (ns, tm) int8 jitter offsets e in [-32, 32].
+    base_ref: (ns_pad8, ntiles_pad128) int32 scalar-prefetched window starts:
+              base[j, t] = start of slot j's window inside tile t's x window.
+    x_hbm:    padded x in HBM; per-tile window DMA'd to VMEM (double buffer).
+    out_ref:  (tm,).
+    """
+    t = pl.program_id(0)
+    nt = pl.num_programs(0)
+    bufs = (xw0_ref, xw1_ref)
+
+    def window_dma(slot, tile):
+        return pltpu.make_async_copy(
+            x_hbm.at[pl.ds(tile * tm, win)], bufs[slot], sem.at[slot]
+        )
+
+    @pl.when(t == 0)
+    def _():
+        window_dma(0, 0).start()
+
+    even = t % 2 == 0
+
+    @pl.when((t + 1 < nt) & even)
+    def _():
+        window_dma(1, t + 1).start()
+
+    @pl.when((t + 1 < nt) & jnp.logical_not(even))
+    def _():
+        window_dma(0, t + 1).start()
+
+    @pl.when(even)
+    def _():
+        window_dma(0, t).wait()
+
+    @pl.when(jnp.logical_not(even))
+    def _():
+        window_dma(1, t).wait()
+
+    ngrp = tm // 1024
+    accs = [jnp.zeros((1024,), jnp.float32) for _ in range(ngrp)]
+    for j in range(ns):
+        s = base_ref[j, t]
+        for g in range(ngrp):
+            # two overlapping tables covering r in [0, 192)
+            start = s + g * 1024
+            t0_a = xw0_ref[pl.ds(start, 1024)].reshape(8, 128)
+            t0_b = xw1_ref[pl.ds(start, 1024)].reshape(8, 128)
+            t1_a = xw0_ref[pl.ds(start + 64, 1024)].reshape(8, 128)
+            t1_b = xw1_ref[pl.ds(start + 64, 1024)].reshape(8, 128)
+            t0 = jnp.where(even, t0_a, t0_b)
+            t1 = jnp.where(even, t1_a, t1_b)
+            e = eoff_ref[j, g * 1024:(g + 1) * 1024].reshape(8, 128)
+            lane = jax.lax.broadcasted_iota(jnp.int32, (8, 128), 1)
+            r = lane + e.astype(jnp.int32) + JDIA_JITTER
+            lo = r < 128
+            g0 = jnp.take_along_axis(t0, jnp.where(lo, r, 0), axis=1)
+            g1 = jnp.take_along_axis(
+                t1, jnp.where(lo, 0, r - 64), axis=1
+            )
+            xv = jnp.where(lo, g0, g1).reshape(1024)
+            d = data_ref[j, g * 1024:(g + 1) * 1024]
+            accs[g] = accs[g] + d.astype(jnp.float32) * xv.astype(jnp.float32)
+    for g in range(ngrp):
+        out_ref[g * 1024:(g + 1) * 1024] = accs[g].astype(out_ref.dtype)
+
+
+@functools.partial(
+    jax.jit, static_argnames=("m", "n", "win", "interpret", "tm")
+)
+def jdia_matvec(data, eoff, base, xpad, *, m, n, win, interpret=False, tm=8192):
+    """y = A @ x for a JDIA-packed matrix.
+
+    data: (ns, m_pad) slot values; eoff: (ns, m_pad) int8 jitter;
+    base: (ns_pad, nt_pad) int32 per-(slot, tile) window starts (relative to
+    the tile's DMA'd x window); xpad: padded x of length nt*tm + win.
+    Returns y: (m,).
+    """
+    ns, m_pad = data.shape
+    nt = m_pad // tm
+
+    grid_spec = pltpu.PrefetchScalarGridSpec(
+        num_scalar_prefetch=1,
+        grid=(nt,),
+        in_specs=[
+            pl.BlockSpec((ns, tm), lambda t, base: (0, t),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((ns, tm), lambda t, base: (0, t),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec(memory_space=pl.ANY),
+        ],
+        out_specs=pl.BlockSpec((tm,), lambda t, base: (t,),
+                               memory_space=pltpu.VMEM),
+        scratch_shapes=[
+            pltpu.VMEM((win,), data.dtype),
+            pltpu.VMEM((win,), data.dtype),
+            pltpu.SemaphoreType.DMA((2,)),
+        ],
+    )
+    kernel = functools.partial(_jdia_kernel, ns, tm, win)
+    out = pl.pallas_call(
+        kernel,
+        grid_spec=grid_spec,
+        out_shape=jax.ShapeDtypeStruct((m_pad,), data.dtype),
+        interpret=interpret,
+        cost_estimate=pl.CostEstimate(
+            flops=2 * ns * m_pad,
+            bytes_accessed=(data.size * data.dtype.itemsize
+                            + eoff.size + nt * win * 4),
+            transcendentals=0,
+        ),
+    )(base, data, eoff, xpad)
+    return out[:m]
+
+
+# ---------------------------------------------------------------------------
+# Fused half-step v2: product + axpy + norm in ONE kernel, with the norm
+# partial accumulated across grid steps into a SEPARATE small output
+# (revisited block), instead of round-1's interleaved-lane single output
+# that XLA stack-allocated (BENCHMARKS.md). Two layout candidates:
+#   ssq_out='vmem': second output is an (8, 128) f32 VMEM block, same block
+#                   for every grid step (accumulation pattern); caller sums.
+#   ssq_out='smem': second output is a (1, 1) f32 SMEM scalar, accumulated
+#                   in an SMEM scratch and written at the last step.
+# ---------------------------------------------------------------------------
+
+
+def _dia_axpy_ssq_kernel(
+    offsets, lo, tm, win, m_total, ssq_smem,
+    data_ref, y_ref, sc_ref, x_hbm,
+    out_ref, ssq_ref, xw0_ref, xw1_ref, sem, *maybe_acc
+):
+    t = pl.program_id(0)
+    nt = pl.num_programs(0)
+    bufs = (xw0_ref, xw1_ref)
+
+    def window_dma(slot, tile):
+        return pltpu.make_async_copy(
+            x_hbm.at[pl.ds(tile * tm, win)], bufs[slot], sem.at[slot]
+        )
+
+    @pl.when(t == 0)
+    def _():
+        window_dma(0, 0).start()
+
+    even = t % 2 == 0
+
+    @pl.when((t + 1 < nt) & even)
+    def _():
+        window_dma(1, t + 1).start()
+
+    @pl.when((t + 1 < nt) & jnp.logical_not(even))
+    def _():
+        window_dma(0, t + 1).start()
+
+    @pl.when(even)
+    def _():
+        window_dma(0, t).wait()
+
+    @pl.when(jnp.logical_not(even))
+    def _():
+        window_dma(1, t).wait()
+
+    c1 = sc_ref[0, 0]
+    c2 = sc_ref[1, 0]
+    xw = jnp.where(even, xw0_ref[:], xw1_ref[:]).astype(jnp.float32) * c1
+    acc = (-c2) * y_ref[:].astype(jnp.float32)
+    for d, k in enumerate(offsets):
+        seg = jax.lax.slice(xw, (lo + k,), (lo + k + tm,))
+        acc = acc + data_ref[d, :].astype(jnp.float32) * seg
+    if m_total % tm != 0:
+        idx = t * tm + jax.lax.broadcasted_iota(jnp.int32, (tm, 1), 0)[:, 0]
+        acc = jnp.where(idx < m_total, acc, 0.0)
+    out_ref[:] = acc.astype(out_ref.dtype)
+
+    sq = acc * acc
+    if ssq_smem:
+        (acc_smem,) = maybe_acc
+        @pl.when(t == 0)
+        def _():
+            acc_smem[0] = 0.0
+
+        acc_smem[0] = acc_smem[0] + jnp.sum(sq)
+
+        @pl.when(t == nt - 1)
+        def _():
+            ssq_ref[0, 0] = acc_smem[0]
+    else:
+        part = jnp.sum(sq.reshape(-1, 8, 128), axis=0)
+        @pl.when(t == 0)
+        def _():
+            ssq_ref[:, :] = jnp.zeros((8, 128), jnp.float32)
+
+        ssq_ref[:, :] = ssq_ref[:, :] + part
+
+
+def dia_fused_halfstep_v2(
+    data, y, win_vec, c1, c2, *, offsets, m, n, interpret=False, tm=None,
+    ssq_out="vmem",
+):
+    """One streaming pass computing
+        out = DIA(data, offsets) @ (win_vec * c1) - c2 * y,  ssq = sum(out^2)
+    with the norm partial in a separate small output. Returns (out, ssq).
+    """
+    ks = tuple(offsets)
+    kmin, kmax = min(ks), max(ks)
+    if tm is None:
+        tm = 65536 if m >= 8_000_000 else (
+            32768 if m >= 4_000_000 else (8192 if m >= 8192 else max(1024, min(m, 1024)))
+        )
+    nt = -(-m // tm)
+    lo = max(0, -kmin)
+    win = -(-(lo + kmax + tm) // 1024) * 1024
+    xp_len = max(lo + n, (nt - 1) * tm + win)
+    xp_len = -(-xp_len // 1024) * 1024
+    xp = jnp.zeros((xp_len,), win_vec.dtype).at[lo : lo + n].set(win_vec)
+    y2 = jnp.zeros((nt * tm,), y.dtype).at[:m].set(y)
+    sc = jnp.zeros((8, 128), jnp.float32)
+    sc = sc.at[0, :].set(jnp.asarray(c1, jnp.float32))
+    sc = sc.at[1, :].set(jnp.asarray(c2, jnp.float32))
+
+    smem = ssq_out == "smem"
+    kernel = functools.partial(
+        _dia_axpy_ssq_kernel, ks, lo, tm, win, m, smem
+    )
+    if smem:
+        ssq_shape = jax.ShapeDtypeStruct((1, 1), jnp.float32)
+        ssq_spec = pl.BlockSpec(memory_space=pltpu.SMEM)
+        extra_scratch = [pltpu.SMEM((1,), jnp.float32)]
+    else:
+        ssq_shape = jax.ShapeDtypeStruct((8, 128), jnp.float32)
+        ssq_spec = pl.BlockSpec((8, 128), lambda t: (0, 0),
+                                memory_space=pltpu.VMEM)
+        extra_scratch = []
+    out, ssq = pl.pallas_call(
+        kernel,
+        grid=(nt,),
+        in_specs=[
+            pl.BlockSpec((len(ks), tm), lambda t: (0, t), memory_space=pltpu.VMEM),
+            pl.BlockSpec((tm,), lambda t: (t,), memory_space=pltpu.VMEM),
+            pl.BlockSpec((8, 128), lambda t: (0, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec(memory_space=pl.ANY),
+        ],
+        out_specs=(
+            pl.BlockSpec((tm,), lambda t: (t,), memory_space=pltpu.VMEM),
+            ssq_spec,
+        ),
+        out_shape=(
+            jax.ShapeDtypeStruct((nt * tm,), data.dtype),
+            ssq_shape,
+        ),
+        scratch_shapes=[
+            pltpu.VMEM((win,), data.dtype),
+            pltpu.VMEM((win,), data.dtype),
+            pltpu.SemaphoreType.DMA((2,)),
+        ] + extra_scratch,
+        interpret=interpret,
+    )(data, y2, sc, xp)
+    ssq_total = ssq[0, 0] if smem else jnp.sum(ssq)
+    return out[:m], ssq_total

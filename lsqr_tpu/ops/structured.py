@@ -339,7 +339,11 @@ class BlockELLOperator(LinearOperator):
     tbrows: jax.Array
     m: int = dataclasses.field(metadata=dict(static=True))
     n: int = dataclasses.field(metadata=dict(static=True))
-    use_pallas: bool = dataclasses.field(default=False, metadata=dict(static=True))
+    #: None = auto (windowed Pallas kernel on TPU at large m, where the
+    #: XLA einsum's materialized x-gather costs ~1.5x extra block traffic;
+    #: XLA below, where dispatch floor dominates). True forces the kernel,
+    #: False forces XLA.
+    use_pallas: object = dataclasses.field(default=None, metadata=dict(static=True))
 
     @property
     def dtype(self):
@@ -367,30 +371,38 @@ class BlockELLOperator(LinearOperator):
         )
         return yb.reshape(-1)[:out_len]
 
-    @property
-    def prefers_bounded_loop(self) -> bool:
+    def _pallas_selected(self) -> bool:
+        # f64 never routes through the kernels (they compute in f32)
+        if self.dtype == jnp.float64:
+            return False
+        if self.use_pallas is None:
+            # auto: the windowed kernel wins where the einsum's materialized
+            # (mb, kb, bw) x-gather traffic matters and the dispatch floor
+            # is amortized (measured crossover on v5e: BENCHMARKS.md)
+            return (
+                jax.default_backend() == "tpu"
+                and max(self.m, self.n) >= 4_000_000
+            )
         return bool(self.use_pallas)
 
-    def _pallas_ok(self, x_len: int) -> bool:
-        # the block kernel keeps the full gathered vector in VMEM; fall back
-        # to the XLA einsum when it would not fit comfortably
-        itemsize = jnp.dtype(self.dtype).itemsize
-        return bool(self.use_pallas) and x_len * itemsize <= 8 * 1024 * 1024
+    @property
+    def prefers_bounded_loop(self) -> bool:
+        return self._pallas_selected()
 
     def matvec(self, x: jax.Array) -> jax.Array:
         xp = _pad_to(x, self.tblocks.shape[0] * self.bw)
-        if self._pallas_ok(xp.shape[0]):
-            from .pallas_spmv import block_ell_matvec
+        if self._pallas_selected():
+            from .pallas_spmv import block_ell_matvec_windowed
 
-            return block_ell_matvec(self.blocks, self.bcols, xp)[: self.m]
+            return block_ell_matvec_windowed(self.blocks, self.bcols, xp)[: self.m]
         return self._matvec_xla(xp, self.blocks, self.bcols, self.m, self.bw)
 
     def rmatvec(self, y: jax.Array) -> jax.Array:
         yp = _pad_to(y, self.blocks.shape[0] * self.bh)
-        if self._pallas_ok(yp.shape[0]):
-            from .pallas_spmv import block_ell_matvec
+        if self._pallas_selected():
+            from .pallas_spmv import block_ell_matvec_windowed
 
-            return block_ell_matvec(self.tblocks, self.tbrows, yp)[: self.n]
+            return block_ell_matvec_windowed(self.tblocks, self.tbrows, yp)[: self.n]
         return self._matvec_xla(yp, self.tblocks, self.tbrows, self.n, self.bh)
 
     def todense(self) -> jax.Array:
