@@ -100,18 +100,18 @@ def auto_operator(m, n, vals, rows, cols, *, dtype=None) -> LinearOperator:
         np.add.at(stripes, (idx, rows_np), vals_np)
         return dia_operator(m, n, tuple(int(k) for k in diags), stripes, dtype=dtype)
 
-    # JDIA: jitter-bounded diagonals — the general-sparsity streaming path
-    # (f32 storage; skip when the caller wants f64 precision). Accept when
-    # nearly all entries fit slots (the remainder falls back to scatter).
-    if vals_np.dtype != np.float64:
-        from .jdia import jdia_operator
+    # JDIA: jitter-bounded diagonals — the general-sparsity streaming path.
+    # f64 packings route products through the XLA formulation (x64
+    # conformance); f32 takes the Pallas kernel on TPU. Accept when nearly
+    # all entries fit slots (the remainder falls back to scatter).
+    from .jdia import jdia_operator
 
-        try:
-            cand = jdia_operator(m, n, vals_np, rows_np, cols_np)
-            if cand.fit_fraction >= 0.95:
-                return cand
-        except (ValueError, RuntimeError):
-            pass
+    try:
+        cand = jdia_operator(m, n, vals_np, rows_np, cols_np)
+        if cand.fit_fraction >= 0.95:
+            return cand
+    except (ValueError, RuntimeError):
+        pass
 
     try:
         return block_ell_operator(

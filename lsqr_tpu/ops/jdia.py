@@ -39,7 +39,8 @@ JITTER = 32          # |e| budget (ops.pallas_spmv.JDIA_JITTER)
 DEFAULT_TM = 8192    # rows per tile (multiple of 1024)
 
 
-def _pack_side(rows, cols, vals, m, n, *, ns_max, tm, win_budget):
+def _pack_side(rows, cols, vals, m, n, *, ns_max, tm, win_budget,
+               dtype=np.float32):
     """Pack one orientation (A or A'). Returns (data, eoff, base, P_lo, win,
     m_pad, remainder_index_mask). base is per-(slot, tile) window starts in
     the kernel's contract: s = d - JITTER + P_lo (window-relative)."""
@@ -93,18 +94,19 @@ def _pack_side(rows, cols, vals, m, n, *, ns_max, tm, win_budget):
     d_min = int(d_used.min()) if nnz else 0
     d_max = int(d_used.max()) if nnz else 0
     P_lo = max(0, -(d_min - JITTER))
-    # kernel reads win[s .. s + tm + 64); s = P_lo + d - JITTER
-    win = P_lo + d_max + JITTER + tm + 64 + 128
+    # the kernel DMAs each slot's window x[t*tm + base .. + tm + 2048);
+    # win is the padded-x coverage needed past each tile start
+    win = P_lo + d_max - JITTER + tm + 2048
     win = -(-win // 1024) * 1024
-    if win * 8 > win_budget:  # two f32 buffers
+    if win * 4 > win_budget:
         raise ValueError(
-            f"JDIA window {win} floats exceeds budget; matrix bandwidth too "
-            "large for this tiling"
+            f"JDIA padded-x window {win} floats exceeds budget; matrix "
+            "bandwidth too large for this tiling"
         )
 
     fitted = assign_slot >= 0
     ns = max(int(slot_used.max()) if nnz else 0, 1)
-    data = np.zeros((ns, m_pad), np.float32)
+    data = np.zeros((ns, m_pad), dtype)
     eoff = np.zeros((ns, m_pad), np.int8)
     f_idx = np.nonzero(fitted)[0]
     s_f = assign_slot[f_idx]
@@ -161,6 +163,10 @@ class JDIAOperator(LinearOperator):
         return 1.0 - rem / max(self.nnz, 1)
 
     def _pallas_selected(self) -> bool:
+        # the Pallas kernel accumulates in f32 — f64 (x64 conformance)
+        # packings always take the XLA formulation so precision is preserved
+        if self.data.dtype != jnp.float32:
+            return False
         if self.use_pallas is None:
             return jax.default_backend() == "tpu" and self.m * self.n > 0
         return bool(self.use_pallas)
@@ -173,6 +179,7 @@ class JDIAOperator(LinearOperator):
         m_pad = -(-m_out // self.tm) * self.tm
         nt = m_pad // self.tm
         length = max((nt - 1) * self.tm + win, p_lo + x.shape[0])
+        length = -(-length // 1024) * 1024
         xp = jnp.zeros((length,), x.dtype)
         return xp.at[p_lo:p_lo + x.shape[0]].set(x)
 
@@ -243,11 +250,12 @@ def _jdia_matvec_xla(data, eoff, base, xp, m_out, tm):
 
 
 def jdia_pack(m, n, vals, rows, cols, *, ns_max=16, tm=DEFAULT_TM,
-              win_budget=16 * 1024 * 1024):
+              win_budget=16 * 1024 * 1024, dtype=np.float32):
     """Pack COO triplets into JDIA (+ transpose packing + remainder).
 
     Returns a dict of arrays (see JDIAOperator fields)."""
-    vals = np.asarray(vals, np.float32)
+    dtype = np.dtype(dtype)
+    vals = np.asarray(vals, dtype)
     rows = np.ascontiguousarray(rows, np.int64)
     cols = np.ascontiguousarray(cols, np.int64)
 
@@ -262,11 +270,11 @@ def jdia_pack(m, n, vals, rows, cols, *, ns_max=16, tm=DEFAULT_TM,
         sub = np.nonzero(fit)[0]
         data, eoff, base, p_lo, win, _, ok_f = _pack_side(
             rows[sub], cols[sub], vals[sub], m, n,
-            ns_max=ns_max, tm=tm, win_budget=win_budget,
+            ns_max=ns_max, tm=tm, win_budget=win_budget, dtype=dtype,
         )
         tdata, teoff, tbase, tp_lo, twin, _, ok_t = _pack_side(
             cols[sub], rows[sub], vals[sub], n, m,
-            ns_max=ns_max, tm=tm, win_budget=win_budget,
+            ns_max=ns_max, tm=tm, win_budget=win_budget, dtype=dtype,
         )
         ok = ok_f & ok_t
         if ok.all():
@@ -285,10 +293,17 @@ def jdia_pack(m, n, vals, rows, cols, *, ns_max=16, tm=DEFAULT_TM,
 
 
 def jdia_operator(m, n, vals, rows, cols, *, ns_max=16, tm=DEFAULT_TM,
-                  use_pallas=None) -> JDIAOperator:
+                  use_pallas=None, dtype=None) -> JDIAOperator:
     """Build a JDIAOperator from COO triplets (duplicates must be summed
-    beforehand; ops.coo.coo_operator / native.coo_dedup handle that)."""
-    p = jdia_pack(m, n, vals, rows, cols, ns_max=ns_max, tm=tm)
+    beforehand; ops.coo.coo_operator / native.coo_dedup handle that).
+
+    ``dtype`` defaults to float32 (the TPU Pallas storage dtype); float64
+    packings are supported for x64 conformance and route products through
+    the XLA formulation."""
+    if dtype is None:
+        v = np.asarray(vals)
+        dtype = v.dtype if v.dtype == np.float64 else np.float32
+    p = jdia_pack(m, n, vals, rows, cols, ns_max=ns_max, tm=tm, dtype=dtype)
     return JDIAOperator(
         data=jnp.asarray(p["data"]),
         eoff=jnp.asarray(p["eoff"]),

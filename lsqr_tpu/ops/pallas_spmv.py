@@ -603,18 +603,30 @@ def _jdia_kernel(
 
     data_ref: (ns, tm) slot values, VMEM-pipelined.
     eoff_ref: (ns, tm) int8 jitter offsets e in [-32, 32].
-    base_ref: (ns_pad8, ntiles_pad128) int32 scalar-prefetched window starts:
-              base[j, t] = start of slot j's window inside tile t's x window.
-    x_hbm:    padded x in HBM; per-tile window DMA'd to VMEM (double buffer).
+    base_ref: (ns_pad8, ntiles_pad128) int32 per-(slot, tile) window starts
+              s = P_lo + d - 32, relative to the tile's x window.
+    x_hbm:    padded x in HBM reshaped (len/128, 128); the tile's window
+              rows are DMA'd (aligned: tile starts are multiples of tm) into
+              a (win/128, 128) VMEM scratch, double-buffered.
     out_ref:  (tm,).
+
+    Dynamic-addressing strategy (all alignment-provable on Mosaic —
+    measured round 2): for slot j, group g, the absolute window position is
+    pos0 = s + g*1024; read an ALIGNED 24-row block at ((pos0//128)//8)*8,
+    roll it by the residual sublanes (dynamic sublane roll), take three
+    consecutive per-sublane 128-tables as static slices, and resolve the
+    final index r = (pos0 % 128) + lane + e + 32 in [0, 320) with three
+    dynamic_gathers + selects.
     """
     t = pl.program_id(0)
     nt = pl.num_programs(0)
     bufs = (xw0_ref, xw1_ref)
+    wrows = win // 128
+    trows = tm // 128
 
     def window_dma(slot, tile):
         return pltpu.make_async_copy(
-            x_hbm.at[pl.ds(tile * tm, win)], bufs[slot], sem.at[slot]
+            x_hbm.at[pl.ds(tile * trows, wrows), :], bufs[slot], sem.at[slot]
         )
 
     @pl.when(t == 0)
@@ -641,26 +653,30 @@ def _jdia_kernel(
 
     ngrp = tm // 1024
     accs = [jnp.zeros((1024,), jnp.float32) for _ in range(ngrp)]
+    lane = jax.lax.broadcasted_iota(jnp.int32, (8, 128), 1)
     for j in range(ns):
         s = base_ref[j, t]
         for g in range(ngrp):
-            # two overlapping tables covering r in [0, 192)
-            start = s + g * 1024
-            t0_a = xw0_ref[pl.ds(start, 1024)].reshape(8, 128)
-            t0_b = xw1_ref[pl.ds(start, 1024)].reshape(8, 128)
-            t1_a = xw0_ref[pl.ds(start + 64, 1024)].reshape(8, 128)
-            t1_b = xw1_ref[pl.ds(start + 64, 1024)].reshape(8, 128)
-            t0 = jnp.where(even, t0_a, t0_b)
-            t1 = jnp.where(even, t1_a, t1_b)
+            pos0 = s + g * 1024
+            r0 = pos0 // 128          # first needed window row
+            q_l = pos0 - r0 * 128     # lane residual in [0, 128)
+            al = (r0 // 8) * 8        # aligned block start (provable x8)
+            roff = r0 - al            # residual sublanes in [0, 8)
+            a0 = xw0_ref[pl.ds(al, 24), :]
+            a1 = xw1_ref[pl.ds(al, 24), :]
+            a = jnp.where(even, a0, a1)
+            b = pltpu.roll(a, -roff, 0)   # b[k] = window row r0 + k
+            t0 = jax.lax.slice(b, (0, 0), (8, 128))
+            t1 = jax.lax.slice(b, (1, 0), (9, 128))
+            t2 = jax.lax.slice(b, (2, 0), (10, 128))
             e = eoff_ref[j, g * 1024:(g + 1) * 1024].reshape(8, 128)
-            lane = jax.lax.broadcasted_iota(jnp.int32, (8, 128), 1)
-            r = lane + e.astype(jnp.int32) + JDIA_JITTER
-            lo = r < 128
-            g0 = jnp.take_along_axis(t0, jnp.where(lo, r, 0), axis=1)
-            g1 = jnp.take_along_axis(
-                t1, jnp.where(lo, 0, r - 64), axis=1
-            )
-            xv = jnp.where(lo, g0, g1).reshape(1024)
+            r = q_l + lane + e.astype(jnp.int32) + JDIA_JITTER
+            k1m = r < 128
+            k2m = r < 256
+            g0 = jnp.take_along_axis(t0, jnp.clip(r, 0, 127), axis=1)
+            g1 = jnp.take_along_axis(t1, jnp.clip(r - 128, 0, 127), axis=1)
+            g2 = jnp.take_along_axis(t2, jnp.clip(r - 256, 0, 127), axis=1)
+            xv = jnp.where(k1m, g0, jnp.where(k2m, g1, g2)).reshape(1024)
             d = data_ref[j, g * 1024:(g + 1) * 1024]
             accs[g] = accs[g] + d.astype(jnp.float32) * xv.astype(jnp.float32)
     for g in range(ngrp):
@@ -680,6 +696,8 @@ def jdia_matvec(data, eoff, base, xpad, *, m, n, win, interpret=False, tm=8192):
     """
     ns, m_pad = data.shape
     nt = m_pad // tm
+    assert win % 1024 == 0 and xpad.shape[0] % 128 == 0
+    xpad2 = xpad.reshape(-1, 128)
 
     grid_spec = pltpu.PrefetchScalarGridSpec(
         num_scalar_prefetch=1,
@@ -694,8 +712,8 @@ def jdia_matvec(data, eoff, base, xpad, *, m, n, win, interpret=False, tm=8192):
         out_specs=pl.BlockSpec((tm,), lambda t, base: (t,),
                                memory_space=pltpu.VMEM),
         scratch_shapes=[
-            pltpu.VMEM((win,), data.dtype),
-            pltpu.VMEM((win,), data.dtype),
+            pltpu.VMEM((win // 128, 128), data.dtype),
+            pltpu.VMEM((win // 128, 128), data.dtype),
             pltpu.SemaphoreType.DMA((2,)),
         ],
     )
@@ -711,7 +729,7 @@ def jdia_matvec(data, eoff, base, xpad, *, m, n, win, interpret=False, tm=8192):
                             + eoff.size + nt * win * 4),
             transcendentals=0,
         ),
-    )(base, data, eoff, xpad)
+    )(base, data, eoff, xpad2)
     return out[:m]
 
 

@@ -117,10 +117,33 @@ def test_jdia_random_pattern_goes_to_remainder(rng):
     )
 
 
+def test_jdia_f64_products_exact(rng):
+    """x64 conformance: an f64 JDIA packing (inferred from f64 vals) takes
+    the XLA product path and reproduces the COO products bit-exactly —
+    same entries, same f64 adds along each row."""
+    m, n = 500, 400
+    vals, rows, cols = _jittered_band_coo(rng, m, n)
+    assert vals.dtype == np.float64
+    A = jdia_operator(m, n, vals, rows, cols, tm=1024)
+    assert A.dtype == jnp.float64
+    assert not A._pallas_selected()
+    ref = lt.coo_operator(m, n, vals, rows, cols)
+    x = rng.standard_normal(n)
+    y = rng.standard_normal(m)
+    np.testing.assert_allclose(np.asarray(A.matvec(jnp.asarray(x))),
+                               np.asarray(ref.matvec(jnp.asarray(x))),
+                               rtol=1e-14, atol=1e-14)
+    np.testing.assert_allclose(np.asarray(A.rmatvec(jnp.asarray(y))),
+                               np.asarray(ref.rmatvec(jnp.asarray(y))),
+                               rtol=1e-14, atol=1e-14)
+
+
 def test_jdia_adjoint_and_solve(rng):
     m, n = 800, 600
     vals, rows, cols = _jittered_band_coo(rng, m, n)
-    A = jdia_operator(m, n, vals, rows, cols, tm=1024, use_pallas=False)
+    # pin f32 on both sides (jdia_operator infers f64 from f64 vals)
+    A = jdia_operator(m, n, vals, rows, cols, tm=1024, use_pallas=False,
+                      dtype=np.float32)
     chk = lt.acheck(A)
     assert int(chk.inform) == 0, float(chk.error)
     b = rng.standard_normal(m).astype(np.float32)
