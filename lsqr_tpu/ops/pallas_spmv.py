@@ -593,7 +593,7 @@ JDIA_JITTER = 32  # |e| budget; r = lane + e + 32 in [0, 192) with two tables
 
 
 def _jdia_kernel(
-    ns, tm, win, base_ref, data_ref, eoff_ref, x_hbm, out_ref,
+    ns, tm, win, gathers, base_ref, data_ref, eoff_ref, x_hbm, out_ref,
     xw0_ref, xw1_ref, sem
 ):
     """One grid step = one row tile of tm rows (tm % 1024 == 0).
@@ -611,12 +611,19 @@ def _jdia_kernel(
     out_ref:  (tm,).
 
     Dynamic-addressing strategy (all alignment-provable on Mosaic —
-    measured round 2): for slot j, group g, the absolute window position is
-    pos0 = s + g*1024; read an ALIGNED 24-row block at ((pos0//128)//8)*8,
-    roll it by the residual sublanes (dynamic sublane roll), take three
-    consecutive per-sublane 128-tables as static slices, and resolve the
-    final index r = (pos0 % 128) + lane + e + 32 in [0, 320) with three
-    dynamic_gathers + selects.
+    measured round 2): consecutive 1024-row groups of a slot start exactly
+    8 window rows apart, so ONE aligned (span, 128) block read at
+    ((s//128)//8)*8 plus ONE dynamic sublane roll serves every group of the
+    slot; per-group tables are then static slices. ``gathers`` selects the
+    residual-lane handling:
+      3: r = (s%128) + lane + e + 32 in [0, 320) -> three per-sublane
+         dynamic_gathers + selects per group.
+      2: a dynamic LANE roll by s%128 (+ one cross-row select) folds the
+         residual into the tables once per slot; r = lane + e + 32 in
+         [0, 192) -> two gathers per group.
+    Measured (v5e, m=8M, 10 slots): gathers=3 7.56 ms pair, gathers=2
+    9.00 ms — the per-slot dynamic lane roll costs more than the third
+    per-group gather, so 3 is the default.
     """
     t = pl.program_id(0)
     nt = pl.num_programs(0)
@@ -652,31 +659,56 @@ def _jdia_kernel(
         window_dma(1, t).wait()
 
     ngrp = tm // 1024
+    span = tm // 128 + 16  # slot coverage: last group's t1 ends at row
+    #                        8*(ngrp-1)+9; +7 sublane-roll margin
     accs = [jnp.zeros((1024,), jnp.float32) for _ in range(ngrp)]
     lane = jax.lax.broadcasted_iota(jnp.int32, (8, 128), 1)
+    lane_sp = jax.lax.broadcasted_iota(jnp.int32, (span - 1, 128), 1)
     for j in range(ns):
+        # Hoisted per-slot addressing: group starts differ by exactly 8 rows
+        # (1024/128), so ONE aligned block read + ONE sublane roll serves
+        # every group; per-group tables become static slices.
         s = base_ref[j, t]
+        a = s // 128              # first needed window row (group 0)
+        q_l = s - a * 128         # lane residual, constant across groups
+        al = (a // 8) * 8         # aligned block start (provable x8)
+        roff = a - al             # residual sublanes in [0, 8)
+        blk0 = xw0_ref[pl.ds(al, span), :]
+        blk1 = xw1_ref[pl.ds(al, span), :]
+        blk = jnp.where(even, blk0, blk1)
+        b = pltpu.roll(blk, -roff, 0)     # b[k] = window row a + k
+        if gathers == 2:
+            # absorb the lane residual once: c[k, i] = window[s + 128k + i],
+            # so r = lane + e + 32 < 192 needs only TWO tables per group
+            bl = pltpu.roll(b, -q_l, 1)   # bl[k, i] = b[k, (i + q_l) % 128]
+            c = jnp.where(
+                lane_sp + q_l < 128,
+                jax.lax.slice(bl, (0, 0), (span - 1, 128)),
+                jax.lax.slice(bl, (1, 0), (span, 128)),
+            )
         for g in range(ngrp):
-            pos0 = s + g * 1024
-            r0 = pos0 // 128          # first needed window row
-            q_l = pos0 - r0 * 128     # lane residual in [0, 128)
-            al = (r0 // 8) * 8        # aligned block start (provable x8)
-            roff = r0 - al            # residual sublanes in [0, 8)
-            a0 = xw0_ref[pl.ds(al, 24), :]
-            a1 = xw1_ref[pl.ds(al, 24), :]
-            a = jnp.where(even, a0, a1)
-            b = pltpu.roll(a, -roff, 0)   # b[k] = window row r0 + k
-            t0 = jax.lax.slice(b, (0, 0), (8, 128))
-            t1 = jax.lax.slice(b, (1, 0), (9, 128))
-            t2 = jax.lax.slice(b, (2, 0), (10, 128))
             e = eoff_ref[j, g * 1024:(g + 1) * 1024].reshape(8, 128)
-            r = q_l + lane + e.astype(jnp.int32) + JDIA_JITTER
-            k1m = r < 128
-            k2m = r < 256
-            g0 = jnp.take_along_axis(t0, jnp.clip(r, 0, 127), axis=1)
-            g1 = jnp.take_along_axis(t1, jnp.clip(r - 128, 0, 127), axis=1)
-            g2 = jnp.take_along_axis(t2, jnp.clip(r - 256, 0, 127), axis=1)
-            xv = jnp.where(k1m, g0, jnp.where(k2m, g1, g2)).reshape(1024)
+            if gathers == 2:
+                t0 = jax.lax.slice(c, (8 * g, 0), (8 * g + 8, 128))
+                t1 = jax.lax.slice(c, (8 * g + 1, 0), (8 * g + 9, 128))
+                r = lane + e.astype(jnp.int32) + JDIA_JITTER   # [0, 192)
+                g0 = jnp.take_along_axis(t0, jnp.clip(r, 0, 127), axis=1)
+                g1 = jnp.take_along_axis(t1, jnp.clip(r - 128, 0, 127),
+                                         axis=1)
+                xv = jnp.where(r < 128, g0, g1).reshape(1024)
+            else:
+                t0 = jax.lax.slice(b, (8 * g, 0), (8 * g + 8, 128))
+                t1 = jax.lax.slice(b, (8 * g + 1, 0), (8 * g + 9, 128))
+                t2 = jax.lax.slice(b, (8 * g + 2, 0), (8 * g + 10, 128))
+                r = q_l + lane + e.astype(jnp.int32) + JDIA_JITTER  # [0,320)
+                k1m = r < 128
+                k2m = r < 256
+                g0 = jnp.take_along_axis(t0, jnp.clip(r, 0, 127), axis=1)
+                g1 = jnp.take_along_axis(t1, jnp.clip(r - 128, 0, 127),
+                                         axis=1)
+                g2 = jnp.take_along_axis(t2, jnp.clip(r - 256, 0, 127),
+                                         axis=1)
+                xv = jnp.where(k1m, g0, jnp.where(k2m, g1, g2)).reshape(1024)
             d = data_ref[j, g * 1024:(g + 1) * 1024]
             accs[g] = accs[g] + d.astype(jnp.float32) * xv.astype(jnp.float32)
     for g in range(ngrp):
@@ -684,9 +716,10 @@ def _jdia_kernel(
 
 
 @functools.partial(
-    jax.jit, static_argnames=("m", "n", "win", "interpret", "tm")
+    jax.jit, static_argnames=("m", "n", "win", "interpret", "tm", "gathers")
 )
-def jdia_matvec(data, eoff, base, xpad, *, m, n, win, interpret=False, tm=8192):
+def jdia_matvec(data, eoff, base, xpad, *, m, n, win, interpret=False,
+                tm=8192, gathers=3):
     """y = A @ x for a JDIA-packed matrix.
 
     data: (ns, m_pad) slot values; eoff: (ns, m_pad) int8 jitter;
@@ -717,7 +750,7 @@ def jdia_matvec(data, eoff, base, xpad, *, m, n, win, interpret=False, tm=8192):
             pltpu.SemaphoreType.DMA((2,)),
         ],
     )
-    kernel = functools.partial(_jdia_kernel, ns, tm, win)
+    kernel = functools.partial(_jdia_kernel, ns, tm, win, gathers)
     out = pl.pallas_call(
         kernel,
         grid_spec=grid_spec,
