@@ -42,6 +42,7 @@ from .ops.structured import (
     dia_operator,
     ell_operator,
 )
+from .lsmr import LSMR_ISTOP_MESSAGES, LSMRResult, lsmr
 from .solver import ISTOP_MESSAGES, LSQRResult, lsqr
 from .utils.checkpoint import load_state, lsqr_checkpointed, save_state
 from .utils.printing import format_exit_block, format_iteration_log, format_report
@@ -54,6 +55,9 @@ __all__ = [
     "LSQRResult",
     "ISTOP_MESSAGES",
     "lsqr",
+    "lsmr",
+    "LSMRResult",
+    "LSMR_ISTOP_MESSAGES",
     "acheck",
     "xcheck",
     "ACheckResult",

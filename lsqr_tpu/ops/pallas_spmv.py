@@ -126,10 +126,12 @@ def _block_ell_win_kernel(
     bufs = (xs0, xs1)
 
     def start_tile_dmas(slot, tile):
-        # kb * tr independent segment copies; each signals sem[slot] once
+        # kb * tr independent segment copies; each signals sem[slot] once.
+        # bcols is prefetched FLAT (mb*kb,): a 2-D SMEM operand gets
+        # lane-padded to (mb, 128) and blows the 1MB SMEM budget (measured).
         for r in range(tr):
             for j in range(kb):
-                c = bcols_ref[tile * tr + r, j]
+                c = bcols_ref[(tile * tr + r) * kb + j]
                 pltpu.make_async_copy(
                     x_hbm.at[c], bufs[slot].at[r, j], sem.at[slot]
                 ).start()
@@ -164,17 +166,23 @@ def _block_ell_win_kernel(
         wait_tile_dmas(1)
 
     xseg = jnp.where(even, xs0[:], xs1[:])  # (tr, kb, bw)
-    # (tr, kb, bh, bw) x (tr, kb, bw) -> (tr, bh): batched small matmuls on
-    # the MXU via dot_general with tr*kb as a flat batch
-    blocks = blocks_ref[:].reshape(tr * kb, bh, bw)
-    xflat = xseg.reshape(tr * kb, bw, 1)
-    prod = jax.lax.dot_general(
-        blocks, xflat,
-        dimension_numbers=(((2,), (1,)), ((0,), (0,))),
-        preferred_element_type=jnp.float32,
-    )  # (tr*kb, bh, 1)
-    acc = jnp.sum(prod.reshape(tr, kb, bh), axis=1)
-    out_ref[:, :] = acc.astype(out_ref.dtype)
+    # (tr, kb, bh, bw) x (tr, kb, bw) -> (tr, bh), fully unrolled into 2-D
+    # jnp.dot calls: Mosaic rejects both the multi_reduction a (tr, kb, bh)
+    # axis-1 sum lowers to ("unsupported output implicit dimension") and
+    # batched rank-1 dot_general ("only constant accumulators supported") —
+    # measured round 2; plain (bh, bw) @ (bw, 1) MXU matmuls with
+    # constant-zero accumulators are the supported pattern (as in
+    # _block_ell_kernel above). Bandwidth-bound on the block stream, so the
+    # matvec-shaped MXU work is not the bottleneck.
+    blocks = blocks_ref[:]
+    for r in range(tr):
+        acc = jnp.zeros((bh, 1), jnp.float32)
+        for j in range(kb):
+            acc = acc + jnp.dot(
+                blocks[r, j], xseg[r, j].reshape(bw, 1),
+                preferred_element_type=jnp.float32,
+            )
+        out_ref[r, :] = acc[:, 0].astype(out_ref.dtype)
 
 
 @functools.partial(jax.jit, static_argnames=("interpret", "tr"))
@@ -194,6 +202,7 @@ def block_ell_matvec_windowed(blocks, bcols, x, *, interpret=False, tr=None):
     nt = mb // tr
     nb = x.shape[0] // bw
     x2 = x.reshape(nb, bw)
+    bflat = bcols.reshape(mb * kb)
 
     grid_spec = pltpu.PrefetchScalarGridSpec(
         num_scalar_prefetch=1,
@@ -226,7 +235,7 @@ def block_ell_matvec_windowed(blocks, bcols, x, *, interpret=False, tr=None):
             + mb * kb * bw * x.dtype.itemsize,
             transcendentals=0,
         ),
-    )(bcols, blocks, x2)
+    )(bflat, blocks, x2)
     return out.reshape(mb * bh)
 
 

@@ -61,3 +61,32 @@ def test_dia_kernel_interpret(rng, shape, offsets):
         )
     )
     np.testing.assert_allclose(got_rmv, ref_rmv, rtol=2e-5, atol=2e-5)
+
+
+@pytest.mark.parametrize("shape,tr", [((1024, 1024), None), ((1536, 1024), 3)])
+def test_block_ell_windowed_kernel_interpret(rng, shape, tr):
+    from lsqr_tpu.ops.pallas_spmv import block_ell_matvec_windowed
+
+    m, n = shape
+    vals, rows, cols = block_banded_coo(
+        min(m, n), min(m, n), block=128, band_blocks=1, dtype=np.float32
+    )
+    bell = block_ell_operator(m, n, vals, rows, cols, block=(128, 128))
+    x = rng.standard_normal(n).astype(np.float32)
+    y = rng.standard_normal(m).astype(np.float32)
+    nb = bell.tblocks.shape[0]
+    xp = jnp.zeros((nb * 128,), jnp.float32).at[:n].set(jnp.asarray(x))
+    ref_mv = np.asarray(bell.matvec(jnp.asarray(x)))
+    got_mv = np.asarray(
+        block_ell_matvec_windowed(bell.blocks, bell.bcols, xp,
+                                  interpret=True, tr=tr)
+    )[:m]
+    np.testing.assert_allclose(got_mv, ref_mv, rtol=2e-5, atol=2e-5)
+    mb = bell.blocks.shape[0]
+    yp = jnp.zeros((mb * 128,), jnp.float32).at[:m].set(jnp.asarray(y))
+    ref_rmv = np.asarray(bell.rmatvec(jnp.asarray(y)))
+    got_rmv = np.asarray(
+        block_ell_matvec_windowed(bell.tblocks, bell.tbrows, yp,
+                                  interpret=True, tr=tr)
+    )[:n]
+    np.testing.assert_allclose(got_rmv, ref_rmv, rtol=2e-5, atol=2e-5)
