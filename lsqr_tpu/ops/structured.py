@@ -339,10 +339,9 @@ class BlockELLOperator(LinearOperator):
     tbrows: jax.Array
     m: int = dataclasses.field(metadata=dict(static=True))
     n: int = dataclasses.field(metadata=dict(static=True))
-    #: None = auto (windowed Pallas kernel on TPU at large m, where the
-    #: XLA einsum's materialized x-gather costs ~1.5x extra block traffic;
-    #: XLA below, where dispatch floor dominates). True forces the kernel,
-    #: False forces XLA.
+    #: None = auto (XLA einsum — measured at/above the Pallas kernel at all
+    #: scales on v5e, see BENCHMARKS.md). True forces the windowed Pallas
+    #: kernel (HBM-resident x, no VMEM-size restriction), False forces XLA.
     use_pallas: object = dataclasses.field(default=None, metadata=dict(static=True))
 
     @property
@@ -376,13 +375,14 @@ class BlockELLOperator(LinearOperator):
         if self.dtype == jnp.float64:
             return False
         if self.use_pallas is None:
-            # auto: the windowed kernel wins where the einsum's materialized
-            # (mb, kb, bw) x-gather traffic matters and the dispatch floor
-            # is amortized (measured crossover on v5e: BENCHMARKS.md)
-            return (
-                jax.default_backend() == "tpu"
-                and max(self.m, self.n) >= 4_000_000
-            )
+            # auto: XLA. Measured on v5e (BENCHMARKS.md): the einsum path is
+            # at or slightly above the windowed Pallas kernel at every scale
+            # tried (m=1M kb=4: 69.2 vs 69.4; m=8M kb=2: 94.6 vs 90.1
+            # Gnnz/s) — the x-gather it materializes is only 1/bh of the
+            # block traffic, so there is nothing for the kernel to win back.
+            # The windowed kernel remains available (use_pallas=True) as the
+            # HBM-resident-x path with no VMEM-size restriction.
+            return False
         return bool(self.use_pallas)
 
     @property
@@ -424,7 +424,7 @@ def _pad_to(x: jax.Array, length: int) -> jax.Array:
 
 
 def block_ell_operator(
-    m, n, vals, rows, cols, *, block=(128, 128), dtype=None, use_pallas=False
+    m, n, vals, rows, cols, *, block=(128, 128), dtype=None, use_pallas=None
 ) -> BlockELLOperator:
     """Build a BlockELLOperator from COO triplets by snapping nonzeros into
     dense (bh, bw) blocks. Efficient when the sparsity pattern is blocky
