@@ -42,6 +42,7 @@ from .ops.structured import (
     dia_operator,
     ell_operator,
 )
+from .craig import CRAIG_ISTOP_MESSAGES, CRAIGResult, craig
 from .lsmr import LSMR_ISTOP_MESSAGES, LSMRResult, lsmr
 from .solver import ISTOP_MESSAGES, LSQRResult, lsqr
 from .utils.checkpoint import load_state, lsqr_checkpointed, save_state
@@ -58,6 +59,9 @@ __all__ = [
     "lsmr",
     "LSMRResult",
     "LSMR_ISTOP_MESSAGES",
+    "craig",
+    "CRAIGResult",
+    "CRAIG_ISTOP_MESSAGES",
     "acheck",
     "xcheck",
     "ACheckResult",

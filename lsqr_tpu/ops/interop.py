@@ -82,8 +82,9 @@ def auto_operator(m, n, vals, rows, cols, *, dtype=None) -> LinearOperator:
     """Pick a TPU storage format from the sparsity pattern:
 
     1. few distinct diagonals covering all nnz        -> DIA
-    2. blocky at (128, 128) (fill ratio <= 4x nnz)    -> BlockELL
-    3. otherwise                                      -> ELL
+    2. jitter-bounded diagonals (>=95% slot fit)      -> JDIA
+    3. blocky at (128, 128) (fill ratio <= 4x nnz)    -> BlockELL
+    4. otherwise                                      -> ELL
     """
     rows_np = np.asarray(rows)
     cols_np = np.asarray(cols)
