@@ -856,6 +856,114 @@ def _dia_axpy_ssq_kernel(
         ssq_ref[:, :] = ssq_ref[:, :] + part
 
 
+def _dia_axpy_ssq_rows_kernel(
+    offsets, lo, tm, win, m_total,
+    data_ref, y_ref, sc_ref, x_hbm,
+    out_ref, ssq_ref, xw0_ref, xw1_ref, sem
+):
+    """v3 of the fused half-step: the norm partial goes to a DISTINCT
+    (8, 128) block of an (nt*8, 128) second output per grid step — unlike
+    v2's revisited block there is no cross-step read-modify-write, so the
+    output pipeline never stalls on the previous step's write. (1, 128)
+    rows do not lower — Mosaic requires (8, 128)-divisible output blocks.)"""
+    t = pl.program_id(0)
+    nt = pl.num_programs(0)
+    bufs = (xw0_ref, xw1_ref)
+
+    def window_dma(slot, tile):
+        return pltpu.make_async_copy(
+            x_hbm.at[pl.ds(tile * tm, win)], bufs[slot], sem.at[slot]
+        )
+
+    @pl.when(t == 0)
+    def _():
+        window_dma(0, 0).start()
+
+    even = t % 2 == 0
+
+    @pl.when((t + 1 < nt) & even)
+    def _():
+        window_dma(1, t + 1).start()
+
+    @pl.when((t + 1 < nt) & jnp.logical_not(even))
+    def _():
+        window_dma(0, t + 1).start()
+
+    @pl.when(even)
+    def _():
+        window_dma(0, t).wait()
+
+    @pl.when(jnp.logical_not(even))
+    def _():
+        window_dma(1, t).wait()
+
+    c1 = sc_ref[0, 0]
+    c2 = sc_ref[1, 0]
+    xw = jnp.where(even, xw0_ref[:], xw1_ref[:]).astype(jnp.float32) * c1
+    acc = (-c2) * y_ref[:].astype(jnp.float32)
+    for d, k in enumerate(offsets):
+        seg = jax.lax.slice(xw, (lo + k,), (lo + k + tm,))
+        acc = acc + data_ref[d, :].astype(jnp.float32) * seg
+    if m_total % tm != 0:
+        idx = t * tm + jax.lax.broadcasted_iota(jnp.int32, (tm, 1), 0)[:, 0]
+        acc = jnp.where(idx < m_total, acc, 0.0)
+    out_ref[:] = acc.astype(out_ref.dtype)
+    sq = acc * acc
+    ssq_ref[:, :] = jnp.sum(sq.reshape(-1, 8, 128), axis=0)
+
+
+def dia_fused_halfstep_v3(
+    data, y, win_vec, c1, c2, *, offsets, m, n, interpret=False, tm=None
+):
+    """One streaming pass computing
+        out = DIA(data, offsets) @ (win_vec * c1) - c2 * y,  ssq = sum(out^2)
+    with per-tile norm partials in distinct rows of an (nt, 128) second
+    output (summed by the caller). Returns (out, ssq)."""
+    ks = tuple(offsets)
+    kmin, kmax = min(ks), max(ks)
+    if tm is None:
+        tm = 65536 if m >= 8_000_000 else (
+            32768 if m >= 4_000_000 else (8192 if m >= 8192 else max(1024, min(m, 1024)))
+        )
+    nt = -(-m // tm)
+    lo = max(0, -kmin)
+    win = -(-(lo + kmax + tm) // 1024) * 1024
+    xp_len = max(lo + n, (nt - 1) * tm + win)
+    xp_len = -(-xp_len // 1024) * 1024
+    xp = jnp.zeros((xp_len,), win_vec.dtype).at[lo : lo + n].set(win_vec)
+    y2 = jnp.zeros((nt * tm,), y.dtype).at[:m].set(y)
+    sc = jnp.zeros((8, 128), jnp.float32)
+    sc = sc.at[0, :].set(jnp.asarray(c1, jnp.float32))
+    sc = sc.at[1, :].set(jnp.asarray(c2, jnp.float32))
+
+    kernel = functools.partial(_dia_axpy_ssq_rows_kernel, ks, lo, tm, win, m)
+    out, ssq = pl.pallas_call(
+        kernel,
+        grid=(nt,),
+        in_specs=[
+            pl.BlockSpec((len(ks), tm), lambda t: (0, t), memory_space=pltpu.VMEM),
+            pl.BlockSpec((tm,), lambda t: (t,), memory_space=pltpu.VMEM),
+            pl.BlockSpec((8, 128), lambda t: (0, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec(memory_space=pl.ANY),
+        ],
+        out_specs=(
+            pl.BlockSpec((tm,), lambda t: (t,), memory_space=pltpu.VMEM),
+            pl.BlockSpec((8, 128), lambda t: (t, 0), memory_space=pltpu.VMEM),
+        ),
+        out_shape=(
+            jax.ShapeDtypeStruct((nt * tm,), data.dtype),
+            jax.ShapeDtypeStruct((nt * 8, 128), jnp.float32),
+        ),
+        scratch_shapes=[
+            pltpu.VMEM((win,), data.dtype),
+            pltpu.VMEM((win,), data.dtype),
+            pltpu.SemaphoreType.DMA((2,)),
+        ],
+        interpret=interpret,
+    )(data, y2, sc, xp)
+    return out[:m], jnp.sum(ssq)
+
+
 def dia_fused_halfstep_v2(
     data, y, win_vec, c1, c2, *, offsets, m, n, interpret=False, tm=None,
     ssq_out="vmem",

@@ -109,3 +109,29 @@ def test_fused_halfstep_v2_kernel(rng, shape, ssq_out):
     np.testing.assert_allclose(np.asarray(out), ref, rtol=2e-5, atol=2e-5)
     ref_ssq = float((ref.astype(np.float64) ** 2).sum())
     np.testing.assert_allclose(float(ssq), ref_ssq, rtol=1e-4)
+
+
+@pytest.mark.parametrize("shape", [(1500, 1500), (2100, 1800)])
+def test_fused_halfstep_v3_kernel(rng, shape):
+    """v3: per-tile norm partials in DISTINCT (1, 128) rows of an (nt, 128)
+    output — no cross-step read-modify-write (VERDICT round-1 item 2)."""
+    from lsqr_tpu.ops.pallas_spmv import dia_fused_halfstep_v3
+    from lsqr_tpu.ops.structured import _dia_matvec_xla, dia_operator
+
+    m, n = shape
+    offs = (-3, 0, 5)
+    data = rng.standard_normal((len(offs), m)).astype(np.float32)
+    A = dia_operator(m, n, offs, data, use_pallas=False)
+    y = rng.standard_normal(m).astype(np.float32)
+    v = rng.standard_normal(n).astype(np.float32)
+    c1, c2 = 0.37, 1.21
+    out, ssq = dia_fused_halfstep_v3(
+        A.data, jnp.asarray(y), jnp.asarray(v), c1, c2,
+        offsets=offs, m=m, n=n, interpret=True,
+    )
+    ref = np.asarray(
+        _dia_matvec_xla(A.data, jnp.asarray(v * np.float32(c1)), offs, m, n)
+    ) - np.float32(c2) * y
+    np.testing.assert_allclose(np.asarray(out), ref, rtol=2e-5, atol=2e-5)
+    ref_ssq = float((ref.astype(np.float64) ** 2).sum())
+    np.testing.assert_allclose(float(ssq), ref_ssq, rtol=1e-4)
