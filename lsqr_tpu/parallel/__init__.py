@@ -5,9 +5,13 @@ design)."""
 from .distributed import global_mesh, initialize_distributed, lsqr_multihost
 from .sharding import (
     ShardedCOO,
+    craig_sharded,
+    lsmr_sharded,
     lsqr_sharded,
+    lsqr_sharded_2d,
     lsqr_sharded_dia,
     make_mesh,
+    make_mesh_2d,
     shard_coo,
 )
 
@@ -17,6 +21,10 @@ __all__ = [
     "ShardedCOO",
     "lsqr_sharded",
     "lsqr_sharded_dia",
+    "lsqr_sharded_2d",
+    "lsmr_sharded",
+    "craig_sharded",
+    "make_mesh_2d",
     "global_mesh",
     "initialize_distributed",
     "lsqr_multihost",

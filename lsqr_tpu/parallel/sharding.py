@@ -54,6 +54,8 @@ __all__ = [
     "lsqr_sharded",
     "lsqr_sharded_dia",
     "lsqr_sharded_2d",
+    "lsmr_sharded",
+    "craig_sharded",
 ]
 
 
@@ -686,5 +688,150 @@ def lsqr_sharded_2d(
             jnp.asarray(opts.atol, dtype),
             jnp.asarray(opts.btol, dtype),
             jnp.asarray(opts.conlim, dtype),
+        )
+    )
+
+
+# ---------------------------------------------------------------------------
+# Distributed sibling solvers: LSMR and CRAIG over the same row partition
+# ---------------------------------------------------------------------------
+
+
+def _prep_row_shards(A, b, mesh, axis_name, dtype=None):
+    """Shared prologue for the row-partitioned sibling solvers: partition a
+    COO operator (or accept a prebuilt ShardedCOO), pad b, pick a dtype."""
+    ndev = mesh.shape[axis_name]
+    if isinstance(A, COOOperator):
+        sharded = shard_coo(A, ndev)
+    elif isinstance(A, ShardedCOO):
+        sharded = A
+        if sharded.ndev != ndev:
+            raise ValueError(
+                f"ShardedCOO was built for {sharded.ndev} devices, mesh has {ndev}"
+            )
+    else:
+        raise TypeError("expected a COOOperator or ShardedCOO")
+    dtype = dtype or jnp.result_type(jnp.asarray(b).dtype, sharded.vals.dtype)
+    if not jnp.issubdtype(dtype, jnp.floating):
+        from ..config import default_dtype
+
+        dtype = default_dtype()
+    b = jnp.asarray(b, dtype)
+    if b.shape != (sharded.m,):
+        raise ValueError(f"b must have shape ({sharded.m},), got {b.shape}")
+    b_pad = jnp.zeros((sharded.m_pad,), dtype).at[: sharded.m].set(b)
+    return sharded, b_pad, dtype
+
+
+def lsmr_sharded(
+    A,
+    b,
+    damp: float = 0.0,
+    *,
+    mesh: Optional[Mesh] = None,
+    axis_name: str = "rows",
+    atol: float = 1e-6,
+    btol: float = 1e-6,
+    conlim: float = 1e8,
+    itnlim: Optional[int] = None,
+    record_trace: bool = False,
+    safe_norms: bool = True,
+):
+    """Row-partitioned distributed LSMR (see :func:`lsqr_tpu.lsmr`).
+
+    Same partition/collective structure as :func:`lsqr_sharded` — the LSMR
+    recurrence is also O(1) scalar work per iteration, replicated on every
+    device; only the transpose product and the u-norms cross the mesh.
+    """
+    from ..lsmr import _lsmr_impl
+
+    mesh = mesh if mesh is not None else make_mesh(axis_name=axis_name)
+    sharded, b_pad, dtype = _prep_row_shards(A, b, mesh, axis_name)
+    if itnlim is None:
+        itnlim = min(sharded.m, sharded.n)
+    solver_kw = dict(
+        itnlim=int(itnlim), record_trace=record_trace, safe_norms=safe_norms
+    )
+    rpd = sharded.m_pad // mesh.shape[axis_name]
+    n = sharded.n
+
+    @partial(
+        jax.shard_map,
+        mesh=mesh,
+        in_specs=(P(axis_name), P(axis_name), P(axis_name), P(axis_name),
+                  P(), P(), P(), P()),
+        out_specs=P(),
+        check_vma=False,
+    )
+    def run(vals_s, rows_s, cols_s, b_local, damp_, atol_, btol_, conlim_):
+        op = _LocalRowShard(
+            vals=vals_s[0], rows=rows_s[0], cols=cols_s[0],
+            m=rpd, n=n, axis=axis_name, global_m=sharded.m,
+        )
+        return _lsmr_impl(
+            op, b_local.reshape(-1), damp_, atol_, btol_, conlim_, **solver_kw
+        )
+
+    return jax.jit(run)(
+        *_globalize(
+            mesh,
+            sharded.vals.astype(dtype),
+            sharded.rows,
+            sharded.cols,
+            b_pad,
+            jnp.asarray(damp, dtype),
+            jnp.asarray(atol, dtype),
+            jnp.asarray(btol, dtype),
+            jnp.asarray(conlim, dtype),
+        )
+    )
+
+
+def craig_sharded(
+    A,
+    b,
+    *,
+    mesh: Optional[Mesh] = None,
+    axis_name: str = "rows",
+    atol: float = 1e-6,
+    btol: float = 1e-6,
+    itnlim: Optional[int] = None,
+    safe_norms: bool = True,
+):
+    """Row-partitioned distributed CRAIG (see :func:`lsqr_tpu.craig`)."""
+    from ..craig import _craig_impl
+
+    mesh = mesh if mesh is not None else make_mesh(axis_name=axis_name)
+    sharded, b_pad, dtype = _prep_row_shards(A, b, mesh, axis_name)
+    if itnlim is None:
+        itnlim = min(sharded.m, sharded.n)
+    solver_kw = dict(itnlim=int(itnlim), safe_norms=safe_norms)
+    rpd = sharded.m_pad // mesh.shape[axis_name]
+    n = sharded.n
+
+    @partial(
+        jax.shard_map,
+        mesh=mesh,
+        in_specs=(P(axis_name), P(axis_name), P(axis_name), P(axis_name),
+                  P(), P()),
+        out_specs=P(),
+        check_vma=False,
+    )
+    def run(vals_s, rows_s, cols_s, b_local, atol_, btol_):
+        op = _LocalRowShard(
+            vals=vals_s[0], rows=rows_s[0], cols=cols_s[0],
+            m=rpd, n=n, axis=axis_name, global_m=sharded.m,
+        )
+        return _craig_impl(op, b_local.reshape(-1), atol_, btol_, **solver_kw)
+
+    return jax.jit(run)(
+        *_globalize(
+            mesh,
+            sharded.vals.astype(dtype),
+            sharded.rows,
+            sharded.cols,
+            b_pad,
+            jnp.asarray(atol, dtype),
+            jnp.asarray(btol, dtype),
         )
     )

@@ -215,3 +215,47 @@ def test_sharded_2d_rejects_bad_input(rng):
         lsqr_sharded_2d(A, np.zeros(63), mesh=make_mesh_2d((2, 2)))
     with pytest.raises(ValueError):
         lsqr_sharded_2d(A, np.zeros(64))  # no mesh or mesh_shape
+
+
+def test_lsmr_sharded_matches_unsharded(rng):
+    """Distributed LSMR: fixed-itnlim iterate equivalence vs one device."""
+    from lsqr_tpu.lsmr import lsmr
+    from lsqr_tpu.parallel.sharding import lsmr_sharded, make_mesh
+
+    m, n, nnz = 200, 120, 1400
+    rows = rng.integers(0, m, nnz)
+    cols = rng.integers(0, n, nnz)
+    vals = rng.standard_normal(nnz)
+    b = rng.standard_normal(m)
+    A = lt.coo_operator(m, n, vals, rows, cols)
+
+    ref = lsmr(A, b, 0.1, atol=0.0, btol=0.0, conlim=0.0, itnlim=25)
+    mesh = make_mesh(8)
+    res = lsmr_sharded(A, b, 0.1, mesh=mesh, atol=0.0, btol=0.0,
+                       conlim=0.0, itnlim=25)
+    assert int(res.itn) == int(ref.itn)
+    np.testing.assert_allclose(np.asarray(res.x), np.asarray(ref.x),
+                               rtol=1e-7, atol=1e-10)
+    np.testing.assert_allclose(float(res.normr), float(ref.normr), rtol=1e-9)
+    np.testing.assert_allclose(float(res.normar), float(ref.normar), rtol=1e-6)
+
+
+def test_craig_sharded_matches_unsharded(rng):
+    """Distributed CRAIG on a consistent under-determined system."""
+    from lsqr_tpu.craig import craig
+    from lsqr_tpu.parallel.sharding import craig_sharded, make_mesh
+
+    m, n = 60, 150
+    dense = rng.standard_normal((m, n))
+    r, c = np.nonzero(dense)
+    vals = dense[r, c]
+    A = lt.coo_operator(m, n, vals, r, c)
+    b = dense @ rng.standard_normal(n)
+
+    ref = craig(A, b, atol=0.0, btol=0.0, itnlim=30)
+    mesh = make_mesh(8)
+    res = craig_sharded(A, b, mesh=mesh, atol=0.0, btol=0.0, itnlim=30)
+    assert int(res.itn) == int(ref.itn)
+    np.testing.assert_allclose(np.asarray(res.x), np.asarray(ref.x),
+                               rtol=1e-7, atol=1e-10)
+    np.testing.assert_allclose(float(res.xnorm), float(ref.xnorm), rtol=1e-9)
