@@ -30,6 +30,33 @@ NDIAG = 11
 OFFSETS = tuple(range(-(NDIAG // 2), NDIAG // 2 + 1))
 
 
+def relay_health(iters=10):
+    """Chained 128MB elementwise bandwidth — the relay/chip occasionally
+    enters a degraded state (~70 GB/s vs ~380-400 healthy; BENCHMARKS.md
+    methodology). Printed to stderr so a bad headline number is
+    attributable; the JSON contract on stdout is unchanged."""
+    import jax
+    import jax.numpy as jnp
+
+    x = jax.random.normal(jax.random.PRNGKey(9), (32 * 1024 * 1024,), jnp.float32)
+
+    @jax.jit
+    def chain(x):
+        def body(i, x):
+            return x * 0.999 + 0.001
+        return jax.lax.fori_loop(0, iters, body, x)
+
+    float(jnp.sum(chain(x)))  # compile + warm
+    t0 = time.perf_counter()
+    float(jnp.sum(chain(x)))
+    dt = (time.perf_counter() - t0) / iters
+    gbs = 2 * x.size * 4 / dt / 1e9
+    print(f"relay_health: elementwise {gbs:.0f} GB/s "
+          f"({'OK' if gbs > 300 else 'DEGRADED — numbers not representative'})",
+          file=sys.stderr, flush=True)
+    return gbs
+
+
 def bench_tpu(iters=30):
     import jax
     import jax.numpy as jnp
@@ -79,6 +106,7 @@ def bench_cpu_serial(iters=4):
 
 
 def main():
+    relay_health()
     nnz_t, dt_t = bench_tpu()
     gnnz_tpu = 2 * nnz_t / dt_t / 1e9
 
