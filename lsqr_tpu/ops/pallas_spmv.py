@@ -307,7 +307,9 @@ def dia_matvec(data, x, *, offsets, m, n, interpret=False, tm=None):
     """y = A @ x for a DIA (banded) matrix.
 
     data: (ndiag, m) row-aligned stripes (data[d, i] = A[i, i+offsets[d]]).
-    x: (n,). Returns y: (m,).
+    x: (n,). Returns y: (m,). bf16 stripes are supported as a STORAGE
+    format: the kernel accumulates in f32 and returns f32 — half the
+    dominant stripe traffic for f32-tolerant problems.
     """
     ks = tuple(offsets)
     kmin, kmax = min(ks), max(ks)
@@ -329,6 +331,7 @@ def dia_matvec(data, x, *, offsets, m, n, interpret=False, tm=None):
     xp_len = -(-xp_len // 1024) * 1024
     xp = jnp.zeros((xp_len,), x.dtype).at[lo : lo + n].set(x)
 
+    out_dtype = jnp.float32 if data.dtype == jnp.bfloat16 else data.dtype
     kernel = functools.partial(_dia_kernel, ks, lo, tm, win)
     out = pl.pallas_call(
         kernel,
@@ -338,10 +341,11 @@ def dia_matvec(data, x, *, offsets, m, n, interpret=False, tm=None):
             pl.BlockSpec(memory_space=pltpu.ANY),  # x stays in HBM, DMA'd per tile
         ],
         out_specs=pl.BlockSpec((tm,), lambda t: (t,), memory_space=pltpu.VMEM),
-        out_shape=jax.ShapeDtypeStruct((m,), data.dtype),
+        out_shape=jax.ShapeDtypeStruct((m,), out_dtype),
         scratch_shapes=[
-            pltpu.VMEM((win,), data.dtype),
-            pltpu.VMEM((win,), data.dtype),
+            # window scratch matches X's dtype (with bf16 STRIPES x stays f32)
+            pltpu.VMEM((win,), x.dtype),
+            pltpu.VMEM((win,), x.dtype),
             pltpu.SemaphoreType.DMA((2,)),
         ],
         interpret=interpret,

@@ -70,6 +70,10 @@ class DIAOperator(LinearOperator):
 
     @property
     def dtype(self):
+        # bf16 STORAGE computes and returns f32 (mixed-precision mode):
+        # downstream (solver vectors, dtype resolution) sees float32
+        if self.data.dtype == jnp.bfloat16:
+            return jnp.dtype(jnp.float32)
         return self.data.dtype
 
     @property
@@ -100,7 +104,10 @@ class DIAOperator(LinearOperator):
 
     @property
     def prefers_fused(self) -> bool:
-        # pays off exactly where the Pallas product kernels do
+        # pays off exactly where the Pallas product kernels do; the fused
+        # axpy kernels are not bf16-storage-aware (plain products are)
+        if self.data.dtype == jnp.bfloat16:
+            return False
         return self._pallas_selected(max(self.m, self.n))
 
     def fused_halfstep(self, *, forward: bool, y, win, c1, c2):
@@ -154,6 +161,10 @@ class DIAOperator(LinearOperator):
             )
         return _dia_matvec_xla(self.tdata, y, self.toffsets, self.n, self.m)
 
+    @property
+    def is_bf16_storage(self) -> bool:
+        return self.data.dtype == jnp.bfloat16
+
     def todense(self) -> jax.Array:
         dense = jnp.zeros((self.m, self.n), self.dtype)
         i = jnp.arange(self.m)
@@ -168,24 +179,34 @@ class DIAOperator(LinearOperator):
 
 def _dia_matvec_xla(data, x, offsets, m, n):
     """Pure-XLA DIA SpMV: one statically shifted slice + FMA per diagonal
-    (fallback / oracle for the Pallas kernel)."""
+    (fallback / oracle for the Pallas kernel). bf16 stripes accumulate in
+    f32 (the convert fuses into the FMA — HBM traffic stays bf16)."""
     ks = offsets or (0,)
     lo = max(0, -min(ks))                 # slice start lo + k >= 0
     hi = max(0, m + max(ks) - n)          # slice end lo + k + m fits
+    acc_dt = jnp.float32 if data.dtype == jnp.bfloat16 else data.dtype
     xp = jnp.zeros((lo + n + hi,), x.dtype).at[lo : lo + n].set(x)
-    y = jnp.zeros((m,), data.dtype)
+    y = jnp.zeros((m,), acc_dt)
     for j, k in enumerate(offsets):
-        y = y + data[j] * jax.lax.dynamic_slice(xp, (lo + k,), (m,))
+        y = y + data[j].astype(acc_dt) * jax.lax.dynamic_slice(
+            xp, (lo + k,), (m,)
+        ).astype(acc_dt)
     return y
 
 
 def dia_operator_device(
-    m, n, offsets: Sequence[int], data: jax.Array, *, use_pallas=None
+    m, n, offsets: Sequence[int], data: jax.Array, *, use_pallas=None,
+    storage_dtype=None,
 ) -> DIAOperator:
     """Build a DIAOperator from stripes already resident on device, with the
     masking and transpose-stripe packing computed on device (jnp). Use this
     for large matrices: it avoids any host<->device transfer of the stripes
     (important on relayed/remote TPU setups where bulk transfers are slow).
+
+    ``storage_dtype='bfloat16'`` stores the stripes in bf16 (products still
+    accumulate and return f32): matrix entries are rounded to 8-bit
+    mantissa at pack time, halving the dominant HBM stripe traffic — the
+    TPU-native mixed-precision mode for f32-tolerant problems.
     """
     offsets = tuple(int(k) for k in offsets)
     nd = len(offsets)
@@ -203,9 +224,13 @@ def dia_operator_device(
         if src_hi > src_lo:
             row = row.at[src_lo + k : src_hi + k].set(data[j, src_lo:src_hi])
         tdata_rows.append(row)
+    tdata = jnp.stack(tdata_rows)
+    if storage_dtype is not None:
+        data = data.astype(storage_dtype)
+        tdata = tdata.astype(storage_dtype)
     return DIAOperator(
         data=data,
-        tdata=jnp.stack(tdata_rows),
+        tdata=tdata,
         m=int(m),
         n=int(n),
         offsets=offsets,
@@ -214,12 +239,15 @@ def dia_operator_device(
 
 
 def dia_operator(
-    m, n, offsets: Sequence[int], data, *, dtype=None, use_pallas=None
+    m, n, offsets: Sequence[int], data, *, dtype=None, use_pallas=None,
+    storage_dtype=None,
 ) -> DIAOperator:
     """Build a DIAOperator. ``data`` has shape (len(offsets), m) with
     ``data[j, i] = A[i, i + offsets[j]]``; out-of-matrix entries must be 0
     (they are zeroed defensively here). The transpose stripe packing is
-    precomputed so SpMV-T streams exactly like SpMV."""
+    precomputed so SpMV-T streams exactly like SpMV.
+    ``storage_dtype='bfloat16'`` selects bf16 stripe STORAGE with f32
+    compute (see :func:`dia_operator_device`)."""
     data = np.asarray(jnp.asarray(data, dtype=dtype))
     offsets = tuple(int(k) for k in offsets)
     if data.shape != (len(offsets), m):
@@ -237,9 +265,13 @@ def dia_operator(
         src_hi = min(m, n - k)
         if src_hi > src_lo:
             tdata[j, src_lo + k : src_hi + k] = data[j, src_lo:src_hi]
+    data_j, tdata_j = jnp.asarray(data), jnp.asarray(tdata)
+    if storage_dtype is not None:
+        data_j = data_j.astype(storage_dtype)
+        tdata_j = tdata_j.astype(storage_dtype)
     return DIAOperator(
-        data=jnp.asarray(data),
-        tdata=jnp.asarray(tdata),
+        data=data_j,
+        tdata=tdata_j,
         m=int(m),
         n=int(n),
         offsets=offsets,

@@ -144,3 +144,63 @@ def test_callback_operator(rng):
     res = lt.lsqr(op, jnp.asarray(b), 0.0, atol=1e-10, btol=1e-10, itnlim=100)
     xref, *_ = np.linalg.lstsq(dense, b, rcond=None)
     np.testing.assert_allclose(np.asarray(res.x), xref, atol=1e-8)
+
+
+def test_dia_bf16_storage(rng):
+    """bf16 stripe STORAGE: products accumulate/return f32; values agree
+    with the f32 operator to bf16 rounding; solver dtype stays f32."""
+    import jax.numpy as jnp
+
+    m, n = 300, 260
+    offs = (-2, 0, 1, 4)
+    stripes = rng.standard_normal((len(offs), m)).astype(np.float32)
+    A32 = lt.dia_operator(m, n, offs, stripes)
+    A16 = lt.dia_operator(m, n, offs, stripes, storage_dtype="bfloat16")
+    assert A16.data.dtype == jnp.bfloat16
+    assert A16.dtype == jnp.float32      # downstream sees f32
+    x = rng.standard_normal(n).astype(np.float32)
+    y = rng.standard_normal(m).astype(np.float32)
+    mv16 = A16.matvec(jnp.asarray(x))
+    rmv16 = A16.rmatvec(jnp.asarray(y))
+    assert mv16.dtype == jnp.float32 and rmv16.dtype == jnp.float32
+    np.testing.assert_allclose(
+        np.asarray(mv16), np.asarray(A32.matvec(jnp.asarray(x))),
+        rtol=2e-2, atol=2e-2,
+    )
+    np.testing.assert_allclose(
+        np.asarray(rmv16), np.asarray(A32.rmatvec(jnp.asarray(y))),
+        rtol=2e-2, atol=2e-2,
+    )
+    # adjoint consistency holds EXACTLY for the rounded matrix (both
+    # products read the same bf16 values)
+    assert int(lt.acheck(A16).inform) == 0
+    # end-to-end: solve against the densified ROUNDED matrix
+    dense16 = np.asarray(A16.todense(), np.float64)
+    xt = rng.standard_normal(n)
+    b = (dense16 @ xt).astype(np.float32)
+    res = lt.lsqr(A16, b, atol=1e-5, btol=1e-5, itnlim=800)
+    r = b - dense16 @ np.asarray(res.x, np.float64)
+    assert np.linalg.norm(r) <= 1e-3 * np.linalg.norm(b)
+
+
+def test_dia_bf16_storage_pallas_interpret(rng):
+    """The streaming kernel accepts bf16 stripes with a f32 x window and
+    f32 output."""
+    import jax.numpy as jnp
+
+    from lsqr_tpu.ops.pallas_spmv import dia_matvec
+
+    m = n = 2048
+    offs = (-1, 0, 3)
+    stripes = rng.standard_normal((len(offs), m)).astype(np.float32)
+    A32 = lt.dia_operator(m, n, offs, stripes)
+    x = rng.standard_normal(n).astype(np.float32)
+    out = dia_matvec(
+        A32.data.astype(jnp.bfloat16), jnp.asarray(x),
+        offsets=offs, m=m, n=n, interpret=True,
+    )
+    assert out.dtype == jnp.float32
+    np.testing.assert_allclose(
+        np.asarray(out), np.asarray(A32.matvec(jnp.asarray(x))),
+        rtol=2e-2, atol=2e-2,
+    )
