@@ -26,7 +26,7 @@ from .diagnostics import ACheckResult, XCheckResult, acheck, xcheck
 from .ops.coo import COOOperator, coo_operator
 from .ops.linop import CallbackOperator, DenseOperator, LinearOperator, as_operator
 from .batch import lsqr_batch
-from .ops.interop import auto_operator, csr_operator, from_scipy
+from .ops.interop import auto_operator, csr_operator, from_scipy, lsqr_scipy
 from .ops.precondition import (
     ColumnScaledOperator,
     ComposedOperator,
@@ -76,6 +76,7 @@ __all__ = [
     "enable_x64",
     "lsqr_batch",
     "from_scipy",
+    "lsqr_scipy",
     "csr_operator",
     "auto_operator",
     "DIAOperator",

@@ -21,7 +21,7 @@ from .coo import COOOperator, coo_operator
 from .linop import LinearOperator
 from .structured import block_ell_operator, dia_operator, ell_operator
 
-__all__ = ["from_scipy", "csr_operator", "auto_operator"]
+__all__ = ["from_scipy", "csr_operator", "auto_operator", "lsqr_scipy"]
 
 
 def csr_operator(m, n, indptr, indices, data, *, dtype=None, format="ell"):
@@ -120,3 +120,94 @@ def auto_operator(m, n, vals, rows, cols, *, dtype=None) -> LinearOperator:
         )
     except ValueError:
         return ell_operator(m, n, vals_np, rows_np, cols_np, dtype=dtype)
+
+
+def lsqr_scipy(
+    A,
+    b,
+    damp: float = 0.0,
+    atol: float = 1e-6,
+    btol: float = 1e-6,
+    conlim: float = 1e8,
+    iter_lim=None,
+    show: bool = False,
+    calc_var: bool = False,
+    x0=None,
+):
+    """Drop-in replacement for ``scipy.sparse.linalg.lsqr``: same argument
+    names, same defaults, same 10-tuple return
+    ``(x, istop, itn, r1norm, r2norm, anorm, acond, arnorm, xnorm, var)``.
+
+    ``A`` may be anything :func:`lsqr_tpu.lsqr` accepts — a LinearOperator,
+    a dense array, a ``(matvec, rmatvec)`` pair — or a scipy sparse matrix
+    (converted via :func:`from_scipy`). Use this to port scipy code to the
+    TPU path one call-site at a time; for new code prefer
+    :func:`lsqr_tpu.lsqr`, whose result object carries more (trace, bnorm,
+    dxmax) and composes with sharding/batching.
+    """
+    import numpy as np
+
+    from ..solver import lsqr
+
+    try:  # scipy sparse input
+        import scipy.sparse as _sp
+
+        if _sp.issparse(A):
+            A = from_scipy(A)
+    except ImportError:  # pragma: no cover
+        pass
+
+    if iter_lim is None and hasattr(A, "n"):
+        iter_lim = 2 * int(A.n)  # scipy's default policy (ours is 4n)
+    res = lsqr(
+        A,
+        b,
+        damp,
+        atol=atol,
+        btol=btol,
+        conlim=conlim,
+        itnlim=iter_lim,
+        wantse=calc_var,
+        x0=x0,
+    )
+    if show:
+        from ..utils.printing import format_report
+
+        print(format_report(res))
+
+    # istop translation: the reference taxonomy this library implements
+    # reclassifies a damped LS stop as 3 (lsqr.f90:871) and uses 4=conlim,
+    # 5=itnlim; scipy keeps the original codes (2=LS stop even when damped,
+    # 3=conlim, 7=itnlim; its 4/5/6 machine-precision variants fold into
+    # 1/2/3 here).
+    istop_map = {0: 0, 1: 1, 2: 2, 3: 2, 4: 3, 5: 7}
+    istop = istop_map[int(res.istop)]
+
+    x = np.asarray(res.x)
+    rnorm = float(res.rnorm)       # scipy's r2norm: sqrt(r1norm^2 + damp^2 xnorm^2)
+    xnorm = float(res.xnorm)
+    r1sq = rnorm**2 - (float(damp) * xnorm) ** 2
+    r1norm = float(np.sqrt(abs(r1sq)) * (1 if r1sq >= 0 else -1))
+    var = None
+    if calc_var:
+        # the reference finalizes se = (rnorm/sqrt(t)) * sqrt(acc)
+        # (lsqr.f90:857-865); scipy's var IS acc, so invert the scaling.
+        m, n = (A.shape if hasattr(A, "shape") else (len(b), x.shape[0]))
+        if m > n:
+            t = float(m - n) if damp == 0.0 else float(m)
+        else:
+            t = 1.0
+        se = np.asarray(res.se, np.float64)
+        var = (se * np.sqrt(t) / rnorm) ** 2 if rnorm > 0 else se * 0.0
+    return (
+        x,
+        istop,
+        int(res.itn),
+        r1norm,
+        rnorm,
+        float(res.anorm),
+        float(res.acond),
+        float(res.arnorm),
+        xnorm,
+        var,
+    )

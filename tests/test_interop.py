@@ -73,3 +73,55 @@ def test_solve_via_scipy_matrix(rng):
     res = lt.lsqr(op, b, 0.0, atol=1e-10, btol=1e-10, itnlim=400)
     ref = scipy.sparse.linalg.lsqr(S, b, atol=1e-10, btol=1e-10, iter_lim=400)
     np.testing.assert_allclose(np.asarray(res.x), ref[0], atol=1e-6)
+
+
+def test_lsqr_scipy_drop_in(rng):
+    """The scipy-compatible wrapper returns scipy's exact 10-tuple shape
+    with matching values (including calc_var) on a damped LS problem."""
+    import scipy.sparse
+    import scipy.sparse.linalg
+
+    from lsqr_tpu.ops.interop import lsqr_scipy
+
+    m, n, nnz = 400, 150, 3000
+    rows = rng.integers(0, m, nnz)
+    cols = rng.integers(0, n, nnz)
+    vals = rng.standard_normal(nnz)
+    S = scipy.sparse.coo_matrix((vals, (rows, cols)), shape=(m, n))
+    b = rng.standard_normal(m)
+
+    ours = lsqr_scipy(S, b, damp=0.1, atol=1e-9, btol=1e-9, calc_var=True)
+    ref = scipy.sparse.linalg.lsqr(S, b, damp=0.1, atol=1e-9, btol=1e-9,
+                                   calc_var=True)
+    assert len(ours) == 10
+    x, istop, itn, r1, r2, anorm, acond, arnorm, xnorm, var = ours
+    assert istop == ref[1] and itn == ref[2]
+    np.testing.assert_allclose(x, ref[0], atol=1e-8)
+    np.testing.assert_allclose(r1, ref[3], rtol=1e-8)
+    np.testing.assert_allclose(r2, ref[4], rtol=1e-8)
+    np.testing.assert_allclose(anorm, ref[5], rtol=1e-6)
+    np.testing.assert_allclose(acond, ref[6], rtol=1e-3)
+    np.testing.assert_allclose(arnorm, ref[7], rtol=1e-3, atol=1e-9)
+    np.testing.assert_allclose(xnorm, ref[8], rtol=1e-8)
+    # cross-implementation accumulation noise in the (w/rho)^2 sum
+    np.testing.assert_allclose(var, ref[9], rtol=1e-3, atol=1e-12)
+
+
+def test_lsqr_scipy_undamped_var(rng):
+    import scipy.sparse
+    import scipy.sparse.linalg
+
+    from lsqr_tpu.ops.interop import lsqr_scipy
+
+    m, n, nnz = 300, 80, 2000
+    rows = rng.integers(0, m, nnz)
+    cols = rng.integers(0, n, nnz)
+    vals = rng.standard_normal(nnz)
+    S = scipy.sparse.coo_matrix((vals, (rows, cols)), shape=(m, n))
+    b = rng.standard_normal(m)
+    ours = lsqr_scipy(S, b, atol=1e-10, btol=1e-10, calc_var=True)
+    ref = scipy.sparse.linalg.lsqr(S, b, atol=1e-10, btol=1e-10,
+                                   calc_var=True)
+    assert ours[1] == ref[1] and ours[2] == ref[2]
+    np.testing.assert_allclose(ours[0], ref[0], atol=1e-8)
+    np.testing.assert_allclose(ours[9], ref[9], rtol=1e-3, atol=1e-12)
