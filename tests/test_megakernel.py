@@ -1,0 +1,99 @@
+"""Iteration megakernel (K LSQR iterations per pallas_call) — interpret-mode
+equivalence against the regular solver. The compiled path is exercised on
+real TPU hardware (BENCHMARKS.md); these tests pin the in-kernel scalar
+recurrence (rotations, stopping logic, monitors) to the solver's."""
+
+import numpy as np
+import pytest
+
+import jax
+
+import lsqr_tpu as lt
+from lsqr_tpu.ops.megakernel import lsqr_megakernel, megakernel_supported
+
+
+@pytest.fixture
+def rng():
+    return np.random.default_rng(7)
+
+
+def _problem(rng, m, n, diag_boost=4.0):
+    offs = (-3, -1, 0, 2, 5)
+    stripes = rng.standard_normal((len(offs), m)).astype(np.float32)
+    stripes[2] += diag_boost
+    A = lt.dia_operator(m, n, offs, stripes, use_pallas=False)
+    b = rng.standard_normal(m).astype(np.float32)
+    return A, b
+
+
+@pytest.mark.parametrize(
+    "m,n,damp",
+    [(2048, 2048, 0.0), (2048, 2048, 0.05), (3072, 2048, 0.0), (2048, 3072, 0.0)],
+)
+def test_megakernel_matches_solver(rng, m, n, damp):
+    A, b = _problem(rng, m, n)
+    ref = lt.lsqr(A, b, damp, atol=1e-5, btol=1e-5, itnlim=150)
+    res = lsqr_megakernel(A, b, damp, atol=1e-5, btol=1e-5, itnlim=150,
+                          iters_per_call=16, interpret=True)
+    assert int(res.istop) == int(ref.istop)
+    # f32 reduction-order differences can flip a borderline stopping test
+    # by one iteration
+    assert abs(int(res.itn) - int(ref.itn)) <= 1
+    np.testing.assert_allclose(
+        np.asarray(res.x), np.asarray(ref.x), rtol=1e-3, atol=1e-4
+    )
+    # the rnorm RECURRENCE drifts a few % between paths once the true
+    # residual is tiny; compare against the actual residual instead
+    dense = np.asarray(A.todense(), np.float64)
+    bb = np.asarray(b, np.float64)
+    for r in (res, ref):
+        x64 = np.asarray(r.x, np.float64)
+        true_r = np.hypot(np.linalg.norm(bb - dense @ x64),
+                          damp * np.linalg.norm(x64))
+        np.testing.assert_allclose(float(r.rnorm), true_r,
+                                   rtol=5e-2, atol=1e-4)
+    # anorm accumulates one d2norm term per iteration; a one-iteration itn
+    # difference shifts it by ~1/itn relative
+    np.testing.assert_allclose(float(res.anorm), float(ref.anorm), rtol=1e-2)
+    np.testing.assert_allclose(float(res.xnorm), float(ref.xnorm), rtol=1e-2)
+
+
+def test_megakernel_istop_boundary_carryover(rng):
+    """Convergence detected mid-call masks the remaining iterations: a K
+    larger than itn and a K smaller than itn give identical results."""
+    A, b = _problem(rng, 2048, 2048, diag_boost=8.0)
+    r1 = lsqr_megakernel(A, b, 0.0, atol=1e-4, btol=1e-4, itnlim=100,
+                         iters_per_call=64, interpret=True)
+    r2 = lsqr_megakernel(A, b, 0.0, atol=1e-4, btol=1e-4, itnlim=100,
+                         iters_per_call=4, interpret=True)
+    assert int(r1.istop) == int(r2.istop)
+    assert int(r1.itn) == int(r2.itn)
+    np.testing.assert_allclose(np.asarray(r1.x), np.asarray(r2.x),
+                               rtol=0, atol=0)
+
+
+def test_megakernel_b_zero(rng):
+    A, _ = _problem(rng, 2048, 2048)
+    res = lsqr_megakernel(A, np.zeros(2048, np.float32), 0.0,
+                          iters_per_call=4, itnlim=20, interpret=True)
+    assert int(res.istop) == 0 and int(res.itn) == 0
+    assert np.all(np.asarray(res.x) == 0.0)
+
+
+def test_megakernel_supported_gates():
+    rng = np.random.default_rng(0)
+    A, _ = _problem(rng, 2048, 2048)
+    assert megakernel_supported(A)
+    assert not megakernel_supported(A, wantse=True)
+    assert not megakernel_supported(A, record_trace=True)
+    # f64 stripes route to the regular x64 path
+    import jax.numpy as jnp
+
+    A64 = lt.dia_operator(2048, 2048, A.offsets,
+                          np.asarray(A.data, np.float64))
+    if A64.data.dtype == jnp.float64:
+        assert not megakernel_supported(A64)
+    # too large for VMEM residency
+    big = lt.dia_operator(4_000_000, 4_000_000, (0,),
+                          np.zeros((1, 1), np.float32).repeat(4_000_000, 1))
+    assert not megakernel_supported(big)
