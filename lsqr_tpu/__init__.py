@@ -27,6 +27,7 @@ from .ops.coo import COOOperator, coo_operator
 from .ops.linop import CallbackOperator, DenseOperator, LinearOperator, as_operator
 from .batch import lsqr_batch
 from .ops.interop import auto_operator, csr_operator, from_scipy, lsqr_scipy
+from .ops.megakernel import lsqr_megakernel, megakernel_supported
 from .ops.precondition import (
     ColumnScaledOperator,
     ComposedOperator,
@@ -77,6 +78,8 @@ __all__ = [
     "lsqr_batch",
     "from_scipy",
     "lsqr_scipy",
+    "lsqr_megakernel",
+    "megakernel_supported",
     "csr_operator",
     "auto_operator",
     "DIAOperator",
