@@ -359,13 +359,14 @@ def _pick_tm(m, n):
     return 1024
 
 
-def _build_call(A, K, tm):
-    from .structured import DIAOperator
+@functools.lru_cache(maxsize=32)
+def _cached_call(ks, tks, m, n, nd, K, tm, interpret):
+    """Build (jitted pallas callable, geometry) for a static kernel shape.
 
-    assert isinstance(A, DIAOperator)
-    m, n = A.m, A.n
-    ks = A.offsets
-    tks = A.toffsets
+    Cached so repeated solves on same-shaped operators (production use:
+    many right-hand sides / time steps on one stencil) re-trace nothing —
+    without this every lsqr_megakernel call pays a fresh trace (and on a
+    remote-compile backend a fresh HTTP round trip) per solve."""
     nt_m = -(-m // tm)
     nt_n = -(-n // tm)
     nt = max(nt_m, nt_n)
@@ -381,10 +382,6 @@ def _build_call(A, K, tm):
     ulen = _round_up(max(lo_a + m, (nt_n - 1) * tm + win_a, nt_m * tm + lo_f), 1024)
     xlen = _round_up(nt_n * tm, 1024)
 
-    nd = len(ks)
-    data_pad = jnp.zeros((nd, nt_m * tm), A.data.dtype).at[:, :m].set(A.data)
-    tdata_pad = jnp.zeros((nd, nt_n * tm), A.tdata.dtype).at[:, :n].set(A.tdata)
-
     kernel = functools.partial(
         _kernel, ks, tks, lo_f, lo_a, tm, win_f, win_a, nt_m, nt_n, m, n,
     )
@@ -397,7 +394,7 @@ def _build_call(A, K, tm):
 
     whole = lambda k, p, t: (0,)
 
-    def call(data_pad, tdata_pad, u, v, x, w, state, *, interpret=False):
+    def call(data_pad, tdata_pad, u, v, x, w, state):
         return pl.pallas_call(
             kernel,
             grid=(K, 3, nt),
@@ -431,10 +428,25 @@ def _build_call(A, K, tm):
             interpret=interpret,
         )(data_pad, tdata_pad, state, u, v, x, w)
 
-    return call, data_pad, tdata_pad, dict(
+    return jax.jit(call), dict(
         ulen=ulen, vlen=vlen, xlen=xlen, lo_f=lo_f, lo_a=lo_a,
         nt_m=nt_m, nt_n=nt_n,
     )
+
+
+def _build_call(A, K, tm, interpret=False):
+    from .structured import DIAOperator
+
+    assert isinstance(A, DIAOperator)
+    m, n = A.m, A.n
+    nd = A.data.shape[0]
+    run, geom = _cached_call(
+        A.offsets, A.toffsets, m, n, nd, K, tm, bool(interpret)
+    )
+    nt_m, nt_n = geom["nt_m"], geom["nt_n"]
+    data_pad = jnp.zeros((nd, nt_m * tm), A.data.dtype).at[:, :m].set(A.data)
+    tdata_pad = jnp.zeros((nd, nt_n * tm), A.tdata.dtype).at[:, :n].set(A.tdata)
+    return run, data_pad, tdata_pad, geom
 
 
 def lsqr_megakernel(
@@ -482,7 +494,7 @@ def lsqr_megakernel(
     safe_a0 = jnp.where(alpha0 > 0, alpha0, 1.0)
     w0 = jnp.where(alpha0 > 0, v0u / safe_a0, v0u)
 
-    call, data_pad, tdata_pad, geom = _build_call(A, K, tm)
+    run, data_pad, tdata_pad, geom = _build_call(A, K, tm, interpret=interpret)
     u = jnp.zeros((geom["ulen"],), jnp.float32).at[
         geom["lo_a"]: geom["lo_a"] + m].set(b)
     v = jnp.zeros((geom["vlen"],), jnp.float32).at[
@@ -514,7 +526,6 @@ def lsqr_megakernel(
     state = put(state, ACT0,
                 jnp.where((beta0 > 0) & (alpha0 * beta0 != 0), 1.0, 0.0))
 
-    run = jax.jit(functools.partial(call, interpret=interpret))
     max_calls = -(-itnlim_r // K) + 1
     for _ in range(max_calls):
         u, v, x, w, state = run(data_pad, tdata_pad, u, v, x, w, state)
