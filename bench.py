@@ -30,11 +30,13 @@ NDIAG = 11
 OFFSETS = tuple(range(-(NDIAG // 2), NDIAG // 2 + 1))
 
 
-def relay_health(iters=10):
+def relay_health(iters=10, wait_healthy_s=900.0, poll_s=60.0):
     """Chained 128MB elementwise bandwidth — the relay/chip occasionally
     enters a degraded state (~70 GB/s vs ~380-400 healthy; BENCHMARKS.md
-    methodology). Printed to stderr so a bad headline number is
-    attributable; the JSON contract on stdout is unchanged."""
+    methodology). A degraded reading says nothing about the kernels, so
+    poll (up to ``wait_healthy_s``) for recovery before measuring; if it
+    never recovers, proceed anyway and report the health reading in the
+    JSON so the headline number is attributable."""
     import jax
     import jax.numpy as jnp
 
@@ -47,14 +49,23 @@ def relay_health(iters=10):
         return jax.lax.fori_loop(0, iters, body, x)
 
     float(jnp.sum(chain(x)))  # compile + warm
-    t0 = time.perf_counter()
-    float(jnp.sum(chain(x)))
-    dt = (time.perf_counter() - t0) / iters
-    gbs = 2 * x.size * 4 / dt / 1e9
-    print(f"relay_health: elementwise {gbs:.0f} GB/s "
-          f"({'OK' if gbs > 300 else 'DEGRADED — numbers not representative'})",
-          file=sys.stderr, flush=True)
-    return gbs
+
+    def measure():
+        t0 = time.perf_counter()
+        float(jnp.sum(chain(x)))
+        dt = (time.perf_counter() - t0) / iters
+        return 2 * x.size * 4 / dt / 1e9
+
+    deadline = time.monotonic() + wait_healthy_s
+    while True:
+        gbs = measure()
+        healthy = gbs > 300
+        print(f"relay_health: elementwise {gbs:.0f} GB/s "
+              f"({'OK' if healthy else 'DEGRADED — numbers not representative'})",
+              file=sys.stderr, flush=True)
+        if healthy or time.monotonic() > deadline:
+            return gbs
+        time.sleep(poll_s)
 
 
 def bench_tpu(iters=30):
@@ -106,7 +117,7 @@ def bench_cpu_serial(iters=4):
 
 
 def main():
-    relay_health()
+    relay_gbs = relay_health()
     nnz_t, dt_t = bench_tpu()
     gnnz_tpu = 2 * nnz_t / dt_t / 1e9
 
@@ -120,6 +131,7 @@ def main():
                 "value": round(gnnz_tpu, 2),
                 "unit": "Gnnz/s",
                 "vs_baseline": round(gnnz_tpu / gnnz_cpu, 2),
+                "relay_health_gbs": round(relay_gbs),
             }
         )
     )
