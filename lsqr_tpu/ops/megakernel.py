@@ -462,6 +462,7 @@ def lsqr_megakernel(
     iters_per_call: int = 32,
     interpret: bool = False,
     tm=None,
+    x0=None,
 ):
     """Solve min ||Ax - b|| (optionally damped) with K iterations per
     kernel dispatch. Semantics match :func:`lsqr_tpu.lsqr` (f32 path,
@@ -469,6 +470,24 @@ def lsqr_megakernel(
     from ..config import LSQROptions
     from ..solver import LSQRResult
     from .blas import nrm2
+
+    if x0 is not None:
+        # the reference's warm-start recipe (lsqr.f90:303-320), as in
+        # solver.lsqr: solve A dx = b - A x0, return x0 + dx
+        if isinstance(damp, (int, float)) and damp != 0.0:
+            raise ValueError(
+                "x0 warm start implements the residual-correction recipe "
+                "(lsqr.f90:303-320), which requires damp == 0"
+            )
+        x0 = jnp.asarray(x0, jnp.float32)
+        r0 = jnp.asarray(b, jnp.float32) - A.matvec(x0)
+        res = lsqr_megakernel(
+            A, r0, damp, atol=atol, btol=btol, conlim=conlim, itnlim=itnlim,
+            nconv=nconv, iters_per_call=iters_per_call, interpret=interpret,
+            tm=tm,
+        )
+        xw = x0 + res.x
+        return res._replace(x=xw, xnorm=nrm2(xw, safe=True))
 
     opts = LSQROptions(atol=atol, btol=btol, conlim=conlim, itnlim=itnlim)
     m, n = A.m, A.n

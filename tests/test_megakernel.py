@@ -97,3 +97,21 @@ def test_megakernel_supported_gates():
     big = lt.dia_operator(4_000_000, 4_000_000, (0,),
                           np.zeros((1, 1), np.float32).repeat(4_000_000, 1))
     assert not megakernel_supported(big)
+
+
+def test_megakernel_x0_warm_start(rng):
+    """x0 warm start (the lsqr.f90:303-320 recipe) matches the regular
+    solver's x0 path on the same perturbed start."""
+    A, b = _problem(rng, 2048, 2048, diag_boost=8.0)
+    x0 = rng.standard_normal(2048).astype(np.float32) * 0.01
+    ref = lt.lsqr(A, b, 0.0, atol=1e-5, btol=1e-5, x0=x0)
+    warm = lsqr_megakernel(A, b, 0.0, atol=1e-5, btol=1e-5,
+                           iters_per_call=16, interpret=True, x0=x0)
+    assert int(warm.istop) == int(ref.istop)
+    assert abs(int(warm.itn) - int(ref.itn)) <= 1
+    np.testing.assert_allclose(np.asarray(warm.x), np.asarray(ref.x),
+                               rtol=1e-3, atol=1e-4)
+    np.testing.assert_allclose(float(warm.xnorm), float(ref.xnorm),
+                               rtol=1e-3)
+    with pytest.raises(ValueError):
+        lsqr_megakernel(A, b, 0.1, x0=x0, interpret=True)
