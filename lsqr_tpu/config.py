@@ -117,6 +117,12 @@ class LSQROptions:
     #: and running norm estimates accumulate in f64 (requires x64 enabled).
     #: None = scalars in the vector dtype (reference behavior).
     scalar_dtype: Optional[str] = None
+    #: route the solve through the iteration megakernel (K iterations per
+    #: Pallas dispatch, ops.megakernel) when the operator supports it.
+    #: None = auto: on TPU backends, for supported DIA operators in f32
+    #: without wantse/trace — the dispatch-floor regime where it wins.
+    #: True forces (interpreted off-TPU), False disables.
+    megakernel: Optional[bool] = None
 
     def resolve_itnlim(self, n: int) -> int:
         return int(self.itnlim) if self.itnlim is not None else 4 * int(n)

@@ -626,6 +626,34 @@ def lsqr(
             f"A); got shape {b.shape}"
         )
 
+    mk = opts.megakernel
+    if mk is not False and _jit and not isinstance(b, jax.core.Tracer):
+        from .ops.megakernel import lsqr_megakernel, megakernel_supported
+
+        supported = (
+            dtype == jnp.float32
+            and not opts.debug_log
+            and opts.scalar_dtype is None
+            and megakernel_supported(
+                A, wantse=opts.wantse, record_trace=opts.record_trace
+            )
+        )
+        if mk is None:
+            mk = supported and jax.default_backend() == "tpu"
+        if mk:
+            if not supported:
+                raise ValueError(
+                    "megakernel=True requires an f32 DIA operator whose "
+                    "vectors fit VMEM, without wantse/record_trace "
+                    "(see ops.megakernel.megakernel_supported)"
+                )
+            return lsqr_megakernel(
+                A, b, damp,
+                atol=opts.atol, btol=opts.btol, conlim=opts.conlim,
+                itnlim=opts.itnlim, nconv=opts.nconv,
+                interpret=jax.default_backend() != "tpu", x0=x0,
+            )
+
     if x0 is not None:
         if isinstance(damp, (int, float)) and damp != 0.0:
             raise ValueError(

@@ -115,3 +115,25 @@ def test_megakernel_x0_warm_start(rng):
                                rtol=1e-3)
     with pytest.raises(ValueError):
         lsqr_megakernel(A, b, 0.1, x0=x0, interpret=True)
+
+
+def test_lsqr_megakernel_option_routing(rng):
+    """LSQROptions.megakernel: True routes lsqr() through the megakernel
+    (interpreted off-TPU); None stays on the regular path off-TPU; True on
+    an unsupported configuration raises."""
+    A, b = _problem(rng, 2048, 2048, diag_boost=8.0)
+    ref = lt.lsqr(A, b, 0.0, atol=1e-5, btol=1e-5)          # auto: regular
+    routed = lt.lsqr(A, b, 0.0, atol=1e-5, btol=1e-5, megakernel=True)
+    assert int(routed.istop) == int(ref.istop)
+    assert abs(int(routed.itn) - int(ref.itn)) <= 1
+    np.testing.assert_allclose(np.asarray(routed.x), np.asarray(ref.x),
+                               rtol=1e-3, atol=1e-4)
+    # the regular path keeps its trace support; megakernel=True + trace raises
+    with pytest.raises(ValueError):
+        lt.lsqr(A, b, 0.0, megakernel=True, record_trace=True)
+    # unsupported operator type
+    dense = np.asarray(A.todense())
+    r2, c2 = np.nonzero(dense)
+    Acoo = lt.coo_operator(2048, 2048, dense[r2, c2], r2, c2)
+    with pytest.raises(ValueError):
+        lt.lsqr(A=Acoo, b=b, megakernel=True)
