@@ -137,3 +137,26 @@ def test_lsqr_megakernel_option_routing(rng):
     Acoo = lt.coo_operator(2048, 2048, dense[r2, c2], r2, c2)
     with pytest.raises(ValueError):
         lt.lsqr(A=Acoo, b=b, megakernel=True)
+
+
+def test_megakernel_bf16_stripes(rng):
+    """bf16 stripe storage through the megakernel: supported, and matches
+    a regular solve on the bf16-rounded operator (compute stays f32)."""
+    import jax.numpy as jnp
+
+    offs = (-3, -1, 0, 2, 5)
+    m = 2048
+    stripes = rng.standard_normal((len(offs), m)).astype(np.float32)
+    stripes[2] += 8.0
+    Abf = lt.dia_operator(m, m, offs, stripes, use_pallas=False,
+                          storage_dtype="bfloat16")
+    assert Abf.data.dtype == jnp.bfloat16
+    assert megakernel_supported(Abf)
+    b = rng.standard_normal(m).astype(np.float32)
+    ref = lt.lsqr(Abf, b, 0.0, atol=1e-4, btol=1e-4)
+    res = lsqr_megakernel(Abf, b, 0.0, atol=1e-4, btol=1e-4,
+                          iters_per_call=16, interpret=True)
+    assert int(res.istop) == int(ref.istop)
+    assert abs(int(res.itn) - int(ref.itn)) <= 1
+    np.testing.assert_allclose(np.asarray(res.x), np.asarray(ref.x),
+                               rtol=1e-3, atol=1e-4)
