@@ -372,10 +372,17 @@ def _cached_call(ks, tks, m, n, nd, K, tm, interpret):
     nt = max(nt_m, nt_n)
     # forward: row i reads v[i + k]; window v[t*tm .. t*tm + win_f).
     # lo offsets are rounded to 1024 so every dynamic start (t*tm + lo)
-    # stays provably vreg-aligned for Mosaic.
-    lo_f = _round_up(max(0, -min(ks)), 1024)
+    # stays provably vreg-aligned for Mosaic. u and v SHARE one lo: the
+    # kernel reads/writes each buffer in different phases under a single
+    # offset, so the forward and adjoint halo must be the max of the two
+    # (one-sided offset sets previously got lo_f != lo_a and corrupted
+    # the iterate).
+    lo = max(
+        _round_up(max(0, -min(ks)), 1024),
+        _round_up(max(0, -min(tks)), 1024),
+    )
+    lo_f = lo_a = lo
     win_f = _round_up(lo_f + max(max(ks), 0) + tm, 1024)
-    lo_a = _round_up(max(0, -min(tks)), 1024)
     win_a = _round_up(lo_a + max(max(tks), 0) + tm, 1024)
     # buffer lengths: window reads at the last tile must stay in bounds
     vlen = _round_up(max(lo_f + n, (nt_m - 1) * tm + win_f, nt_n * tm + lo_a), 1024)

@@ -160,3 +160,21 @@ def test_megakernel_bf16_stripes(rng):
     assert abs(int(res.itn) - int(ref.itn)) <= 1
     np.testing.assert_allclose(np.asarray(res.x), np.asarray(ref.x),
                                rtol=1e-3, atol=1e-4)
+
+
+@pytest.mark.parametrize("offs", [(0, 1, 2), (-2, -1, 0), (0,)])
+def test_megakernel_one_sided_offsets(rng, offs):
+    """One-sided diagonal sets (upper/lower banded): the u and v buffers
+    share one halo offset; regression for the lo_f != lo_a layout
+    corruption."""
+    m = 2048
+    stripes = rng.standard_normal((len(offs), m)).astype(np.float32)
+    stripes[0] += 8.0
+    A = lt.dia_operator(m, m, offs, stripes, use_pallas=False)
+    b = rng.standard_normal(m).astype(np.float32)
+    ref = lt.lsqr(A, b, atol=1e-4, btol=1e-4)
+    res = lsqr_megakernel(A, b, atol=1e-4, btol=1e-4,
+                          iters_per_call=8, interpret=True)
+    assert int(res.itn) == int(ref.itn)
+    np.testing.assert_allclose(np.asarray(res.x), np.asarray(ref.x),
+                               rtol=1e-4, atol=1e-5)
