@@ -28,6 +28,7 @@ from .ops.linop import CallbackOperator, DenseOperator, LinearOperator, as_opera
 from .batch import lsqr_batch
 from .ops.interop import auto_operator, csr_operator, from_scipy, lsqr_scipy
 from .ops.megakernel import lsqr_megakernel, megakernel_supported
+from .ops.megakernel_lsmr import lsmr_megakernel, lsmr_megakernel_supported
 from .ops.precondition import (
     ColumnScaledOperator,
     ComposedOperator,
@@ -80,6 +81,8 @@ __all__ = [
     "lsqr_scipy",
     "lsqr_megakernel",
     "megakernel_supported",
+    "lsmr_megakernel",
+    "lsmr_megakernel_supported",
     "csr_operator",
     "auto_operator",
     "DIAOperator",

@@ -423,6 +423,7 @@ def lsmr(
     loop_segment: int = 64,
     m: Optional[int] = None,
     n: Optional[int] = None,
+    megakernel: Optional[bool] = None,
     _jit: bool = True,
 ) -> LSMRResult:
     """Solve ``A x = b``, ``min ||A x - b||`` or its damped form with LSMR.
@@ -449,6 +450,30 @@ def lsmr(
         raise ValueError(
             f"b must be a vector of length m = {A.m}; got shape {b.shape}"
         )
+
+    if megakernel is not False and _jit and not isinstance(b, jax.core.Tracer):
+        from .ops.megakernel_lsmr import (
+            lsmr_megakernel,
+            lsmr_megakernel_supported,
+        )
+
+        supported = (
+            dtype == jnp.float32
+            and lsmr_megakernel_supported(A, record_trace=record_trace)
+        )
+        if megakernel is None:
+            megakernel = supported and jax.default_backend() == "tpu"
+        if megakernel:
+            if not supported:
+                raise ValueError(
+                    "megakernel=True requires an f32 DIA operator whose "
+                    "vectors fit VMEM, without record_trace"
+                )
+            return lsmr_megakernel(
+                A, b, damp, atol=atol, btol=btol, conlim=conlim,
+                itnlim=itnlim,
+                interpret=jax.default_backend() != "tpu", x0=x0,
+            )
 
     if x0 is not None:
         if isinstance(damp, (int, float)) and damp != 0.0:
