@@ -29,6 +29,7 @@ from .batch import lsqr_batch
 from .ops.interop import auto_operator, csr_operator, from_scipy, lsqr_scipy
 from .ops.megakernel import lsqr_megakernel, megakernel_supported
 from .ops.megakernel_lsmr import lsmr_megakernel, lsmr_megakernel_supported
+from .ops.megakernel_craig import craig_megakernel, craig_megakernel_supported
 from .ops.precondition import (
     ColumnScaledOperator,
     ComposedOperator,
@@ -83,6 +84,8 @@ __all__ = [
     "megakernel_supported",
     "lsmr_megakernel",
     "lsmr_megakernel_supported",
+    "craig_megakernel",
+    "craig_megakernel_supported",
     "csr_operator",
     "auto_operator",
     "DIAOperator",

@@ -262,6 +262,7 @@ def craig(
     loop_segment: int = 64,
     m: Optional[int] = None,
     n: Optional[int] = None,
+    megakernel: Optional[bool] = None,
     _jit: bool = True,
 ) -> CRAIGResult:
     """Minimum-norm solution of a CONSISTENT system ``A x = b`` by Craig's
@@ -285,6 +286,26 @@ def craig(
         raise ValueError(
             f"b must be a vector of length m = {A.m}; got shape {b.shape}"
         )
+
+    if megakernel is not False and _jit and not isinstance(b, jax.core.Tracer):
+        from .ops.megakernel_craig import (
+            craig_megakernel,
+            craig_megakernel_supported,
+        )
+
+        supported = dtype == jnp.float32 and craig_megakernel_supported(A)
+        if megakernel is None:
+            megakernel = supported and jax.default_backend() == "tpu"
+        if megakernel:
+            if not supported:
+                raise ValueError(
+                    "megakernel=True requires an f32 DIA operator whose "
+                    "vectors fit VMEM"
+                )
+            return craig_megakernel(
+                A, b, atol=atol, btol=btol, itnlim=itnlim,
+                interpret=jax.default_backend() != "tpu", x0=x0,
+            )
 
     if x0 is not None:
         x0 = jnp.asarray(x0, dtype)
