@@ -322,6 +322,11 @@ def dia_matvec(data, x, *, offsets, m, n, interpret=False, tm=None):
             tm = 8192
         else:
             tm = 1024 if m >= 1024 else max(8, m)
+        if data.dtype == jnp.bfloat16:
+            # the per-diagonal bf16->f32 cast stages an extra f32 copy of
+            # the stripe block in scoped VMEM; at tm=65536 that overflows
+            # the 16M stack limit (measured 19.1M) — halve the tile.
+            tm = min(tm, 32768)
     nt = -(-m // tm)          # ragged last tile handled by pallas masking
     lo = max(0, -kmin)
     # per-tile window covers every diagonal's static shift
@@ -929,6 +934,8 @@ def dia_fused_halfstep_v3(
         tm = 65536 if m >= 8_000_000 else (
             32768 if m >= 4_000_000 else (8192 if m >= 8192 else max(1024, min(m, 1024)))
         )
+        if data.dtype == jnp.bfloat16:
+            tm = min(tm, 32768)  # bf16 cast staging; see dia_matvec
     nt = -(-m // tm)
     lo = max(0, -kmin)
     win = -(-(lo + kmax + tm) // 1024) * 1024
@@ -982,6 +989,8 @@ def dia_fused_halfstep_v2(
         tm = 65536 if m >= 8_000_000 else (
             32768 if m >= 4_000_000 else (8192 if m >= 8192 else max(1024, min(m, 1024)))
         )
+        if data.dtype == jnp.bfloat16:
+            tm = min(tm, 32768)  # bf16 cast staging; see dia_matvec
     nt = -(-m // tm)
     lo = max(0, -kmin)
     win = -(-(lo + kmax + tm) // 1024) * 1024
