@@ -155,9 +155,6 @@ def _kernel(
         for d, kk in enumerate(offsets):
             seg = jax.lax.slice(vwin, (lo + kk,), (lo + kk + tm,))
             acc = acc + data_ref[d, :].astype(jnp.float32) * seg
-        if m % tm != 0:
-            idx = base + jax.lax.broadcasted_iota(jnp.int32, (tm, 1), 0)[:, 0]
-            acc = jnp.where(idx < m, acc, 0.0)
         u_ref[pl.ds(base + lo, tm)] = acc
         state_ref[SSQ_U, :] = jnp.full(
             (128,), g(SSQ_U) + jnp.sum(acc * acc), jnp.float32
@@ -175,9 +172,6 @@ def _kernel(
         for d, kk in enumerate(toffsets):
             seg = jax.lax.slice(uwin, (lo + kk,), (lo + kk + tm,))
             acc = acc + tdata_ref[d, :].astype(jnp.float32) * seg
-        if n % tm != 0:
-            idx = base + jax.lax.broadcasted_iota(jnp.int32, (tm, 1), 0)[:, 0]
-            acc = jnp.where(idx < n, acc, 0.0)
         acc = jnp.where(bpos, acc, vold)
         v_ref[pl.ds(base + lo, tm)] = acc
         state_ref[SSQ_V, :] = jnp.full(

@@ -178,3 +178,17 @@ def test_megakernel_one_sided_offsets(rng, offs):
     assert int(res.itn) == int(ref.itn)
     np.testing.assert_allclose(np.asarray(res.x), np.asarray(ref.x),
                                rtol=1e-4, atol=1e-5)
+
+
+@pytest.mark.parametrize("m,n", [(2500, 2500), (2500, 1800), (1800, 2500)])
+def test_megakernel_ragged_tiles(rng, m, n):
+    """m/n not divisible by the tile: pad rows stay zero through the
+    recurrence (stripes zero-padded), no in-kernel masking needed."""
+    A, b = _problem(rng, m, n, diag_boost=8.0)
+    ref = lt.lsqr(A, b, 0.0, atol=1e-5, btol=1e-5, itnlim=150)
+    res = lsqr_megakernel(A, b, 0.0, atol=1e-5, btol=1e-5, itnlim=150,
+                          iters_per_call=8, interpret=True)
+    assert int(res.istop) == int(ref.istop)
+    assert abs(int(res.itn) - int(ref.itn)) <= 1
+    np.testing.assert_allclose(np.asarray(res.x), np.asarray(ref.x),
+                               rtol=1e-3, atol=1e-4)

@@ -119,3 +119,15 @@ def test_lsmr_megakernel_option_routing(rng):
                                rtol=1e-3, atol=1e-4)
     with pytest.raises(ValueError):
         lsmr(A, b, 0.0, megakernel=True, record_trace=True)
+
+
+@pytest.mark.parametrize("m,n", [(2500, 2500), (2500, 1800), (1800, 2500)])
+def test_lsmr_megakernel_ragged_tiles(rng, m, n):
+    A, b = _problem(rng, m, n, diag_boost=8.0)
+    ref = lsmr(A, b, atol=1e-5, btol=1e-5, itnlim=150)
+    res = lsmr_megakernel(A, b, atol=1e-5, btol=1e-5, itnlim=150,
+                          iters_per_call=8, interpret=True)
+    assert int(res.istop) == int(ref.istop)
+    assert abs(int(res.itn) - int(ref.itn)) <= 1
+    np.testing.assert_allclose(np.asarray(res.x), np.asarray(ref.x),
+                               rtol=1e-3, atol=1e-4)
