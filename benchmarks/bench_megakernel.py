@@ -47,11 +47,14 @@ def main():
     b = jax.random.normal(jax.random.PRNGKey(1), (M,), jnp.float32)
     assert megakernel_supported(A), "megakernel must support this size"
 
-    # regular path (bounded loop; fixed itnlim so both run identical work)
-    res = lt.lsqr(A, b, atol=0.0, btol=0.0, conlim=0.0, itnlim=ITNLIM)
+    # regular path (bounded loop; fixed itnlim so both run identical work;
+    # megakernel=False — lsqr() otherwise auto-routes to the megakernel here)
+    res = lt.lsqr(A, b, atol=0.0, btol=0.0, conlim=0.0, itnlim=ITNLIM,
+                  megakernel=False)
     float(res.rnorm)  # warm/compile
     t0 = time.perf_counter()
-    res = lt.lsqr(A, b, atol=0.0, btol=0.0, conlim=0.0, itnlim=ITNLIM)
+    res = lt.lsqr(A, b, atol=0.0, btol=0.0, conlim=0.0, itnlim=ITNLIM,
+                  megakernel=False)
     r_reg = float(res.rnorm)
     dt_reg = time.perf_counter() - t0
     print(f"regular: {dt_reg*1e3:.1f} ms total, "

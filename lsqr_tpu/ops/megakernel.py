@@ -335,13 +335,67 @@ def megakernel_supported(A, *, wantse=False, record_trace=False,
         return False
     if A.data.dtype not in (jnp.float32, jnp.bfloat16):
         return False
+    return _fit_tm(A, vmem_budget) is not None
+
+
+def _geometry(ks, tks, m, n, tm):
+    """Buffer geometry shared by the kernel build and the VMEM estimate.
+
+    lo offsets are rounded to 1024 so every dynamic start (t*tm + lo)
+    stays provably vreg-aligned for Mosaic. u and v SHARE one lo: the
+    kernel reads/writes each buffer in different phases under a single
+    offset, so the forward and adjoint halo must be the max of the two
+    (one-sided offset sets previously got lo_f != lo_a and corrupted
+    the iterate)."""
+    nt_m = -(-m // tm)
+    nt_n = -(-n // tm)
+    lo = max(
+        _round_up(max(0, -min(ks)), 1024),
+        _round_up(max(0, -min(tks)), 1024),
+    )
+    win_f = _round_up(lo + max(max(ks), 0) + tm, 1024)
+    win_a = _round_up(lo + max(max(tks), 0) + tm, 1024)
+    vlen = _round_up(max(lo + n, (nt_m - 1) * tm + win_f, nt_n * tm + lo), 1024)
+    ulen = _round_up(max(lo + m, (nt_n - 1) * tm + win_a, nt_m * tm + lo), 1024)
+    xlen = _round_up(nt_n * tm, 1024)
+    return dict(nt_m=nt_m, nt_n=nt_n, lo_f=lo, lo_a=lo,
+                win_f=win_f, win_a=win_a, ulen=ulen, vlen=vlen, xlen=xlen)
+
+
+def _vmem_estimate(ks, tks, m, n, nd, esz, tm, n_nvecs=3):
+    """Conservative scoped-VMEM footprint for one megakernel call.
+
+    ``n_nvecs`` = how many n-length vectors the kernel keeps resident
+    (LSQR: v,x,w = 3; LSMR: v,x,h,hbar = 4; CRAIG: v,x = 2).
+
+    Calibrated against a measured compile failure: m=n=500000, nd=11,
+    tm=32768 stack-allocated 16.05M (outputs 8.44M + double-buffered
+    stripes 5.77M + ~1.8M Mosaic staging for the per-diagonal shifted
+    products). The staging term 2*nd*tm*4 over-covers that residual."""
+    g = _geometry(ks, tks, m, n, tm)
+    out_bytes = 4 * (
+        g["ulen"] + g["vlen"] + (n_nvecs - 1) * g["xlen"] + NSTATE * 128
+    )
+    stripe_bytes = 2 * 2 * nd * tm * esz  # data+tdata, double-buffered
+    staging_bytes = 2 * nd * tm * 4       # f32 compute staging per phase
+    state_bytes = 2 * NSTATE * 128 * 4    # state_in block (pipelined)
+    return out_bytes + stripe_bytes + staging_bytes + state_bytes
+
+
+def _fit_tm(A, vmem_budget=14 * 1024 * 1024, n_nvecs=3):
+    """Largest tile (<= _pick_tm's preference) whose estimated footprint
+    fits the VMEM budget; None if even tm=1024 does not fit."""
     m, n = A.m, A.n
-    tm = _pick_tm(m, n)
+    ks = tuple(int(k) for k in np.asarray(A.offsets))
+    tks = tuple(int(k) for k in np.asarray(A.toffsets))
     nd = A.data.shape[0]
     esz = A.data.dtype.itemsize
-    vec_bytes = 4 * (_round_up(m, tm) + 3 * _round_up(n, tm) + 8 * 1024)
-    stripe_bytes = 2 * 2 * nd * tm * esz  # data+tdata, double-buffered
-    return vec_bytes + stripe_bytes <= vmem_budget
+    tm = _pick_tm(m, n)
+    while tm >= 1024:
+        if _vmem_estimate(ks, tks, m, n, nd, esz, tm, n_nvecs) <= vmem_budget:
+            return tm
+        tm //= 2
+    return None
 
 
 def _pick_tm(m, n):
@@ -361,27 +415,14 @@ def _cached_call(ks, tks, m, n, nd, K, tm, interpret):
     many right-hand sides / time steps on one stencil) re-trace nothing —
     without this every lsqr_megakernel call pays a fresh trace (and on a
     remote-compile backend a fresh HTTP round trip) per solve."""
-    nt_m = -(-m // tm)
-    nt_n = -(-n // tm)
-    nt = max(nt_m, nt_n)
     # forward: row i reads v[i + k]; window v[t*tm .. t*tm + win_f).
-    # lo offsets are rounded to 1024 so every dynamic start (t*tm + lo)
-    # stays provably vreg-aligned for Mosaic. u and v SHARE one lo: the
-    # kernel reads/writes each buffer in different phases under a single
-    # offset, so the forward and adjoint halo must be the max of the two
-    # (one-sided offset sets previously got lo_f != lo_a and corrupted
-    # the iterate).
-    lo = max(
-        _round_up(max(0, -min(ks)), 1024),
-        _round_up(max(0, -min(tks)), 1024),
-    )
-    lo_f = lo_a = lo
-    win_f = _round_up(lo_f + max(max(ks), 0) + tm, 1024)
-    win_a = _round_up(lo_a + max(max(tks), 0) + tm, 1024)
-    # buffer lengths: window reads at the last tile must stay in bounds
-    vlen = _round_up(max(lo_f + n, (nt_m - 1) * tm + win_f, nt_n * tm + lo_a), 1024)
-    ulen = _round_up(max(lo_a + m, (nt_n - 1) * tm + win_a, nt_m * tm + lo_f), 1024)
-    xlen = _round_up(nt_n * tm, 1024)
+    # buffer lengths: window reads at the last tile must stay in bounds.
+    g = _geometry(ks, tks, m, n, tm)
+    nt_m, nt_n = g["nt_m"], g["nt_n"]
+    lo_f, lo_a = g["lo_f"], g["lo_a"]
+    win_f, win_a = g["win_f"], g["win_a"]
+    ulen, vlen, xlen = g["ulen"], g["vlen"], g["xlen"]
+    nt = max(nt_m, nt_n)
 
     kernel = functools.partial(
         _kernel, ks, tks, lo_f, lo_a, tm, win_f, win_a, nt_m, nt_n, m, n,
@@ -493,7 +534,13 @@ def lsqr_megakernel(
     opts = LSQROptions(atol=atol, btol=btol, conlim=conlim, itnlim=itnlim)
     m, n = A.m, A.n
     if tm is None:
-        tm = _pick_tm(m, n)
+        tm = _fit_tm(A)
+        if tm is None:
+            raise ValueError(
+                "operator too large for the iteration megakernel: the four "
+                "solver vectors + stripe tiles exceed the VMEM budget even "
+                "at tm=1024 (see ops.megakernel.megakernel_supported)"
+            )
     itnlim_r = opts.resolve_itnlim(n)
     K = min(iters_per_call, max(1, itnlim_r))
 

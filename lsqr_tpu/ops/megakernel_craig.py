@@ -29,7 +29,7 @@ import numpy as np
 from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
 
-from .megakernel import _pick_tm, _round_up
+from .megakernel import _fit_tm, _pick_tm, _round_up
 
 __all__ = ["craig_megakernel", "craig_megakernel_supported"]
 
@@ -188,13 +188,7 @@ def craig_megakernel_supported(A, *, vmem_budget=14 * 1024 * 1024) -> bool:
         return False
     if A.data.dtype not in (jnp.float32, jnp.bfloat16):
         return False
-    m, n = A.m, A.n
-    tm = _pick_tm(m, n)
-    nd = A.data.shape[0]
-    esz = A.data.dtype.itemsize
-    vec_bytes = 4 * (_round_up(m, tm) + 2 * _round_up(n, tm) + 8 * 1024)
-    stripe_bytes = 2 * 2 * nd * tm * esz
-    return vec_bytes + stripe_bytes <= vmem_budget
+    return _fit_tm(A, vmem_budget, n_nvecs=2) is not None
 
 
 @functools.lru_cache(maxsize=32)
@@ -304,7 +298,12 @@ def craig_megakernel(
 
     m, n = A.m, A.n
     if tm is None:
-        tm = _pick_tm(m, n)
+        tm = _fit_tm(A, n_nvecs=2)
+        if tm is None:
+            raise ValueError(
+                "operator too large for the CRAIG iteration megakernel "
+                "(see ops.megakernel_craig.craig_megakernel_supported)"
+            )
     if itnlim is None:
         itnlim = min(m, n)
     itnlim_r = int(itnlim)

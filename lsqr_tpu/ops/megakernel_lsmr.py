@@ -34,7 +34,7 @@ import numpy as np
 from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
 
-from .megakernel import _pick_tm, _round_up
+from .megakernel import _fit_tm, _pick_tm, _round_up
 
 __all__ = ["lsmr_megakernel", "lsmr_megakernel_supported"]
 
@@ -325,13 +325,7 @@ def lsmr_megakernel_supported(A, *, record_trace=False,
         return False
     if A.data.dtype not in (jnp.float32, jnp.bfloat16):
         return False
-    m, n = A.m, A.n
-    tm = _pick_tm(m, n)
-    nd = A.data.shape[0]
-    esz = A.data.dtype.itemsize
-    vec_bytes = 4 * (_round_up(m, tm) + 4 * _round_up(n, tm) + 8 * 1024)
-    stripe_bytes = 2 * 2 * nd * tm * esz
-    return vec_bytes + stripe_bytes <= vmem_budget
+    return _fit_tm(A, vmem_budget, n_nvecs=4) is not None
 
 
 @functools.lru_cache(maxsize=32)
@@ -453,7 +447,12 @@ def lsmr_megakernel(
 
     m, n = A.m, A.n
     if tm is None:
-        tm = _pick_tm(m, n)
+        tm = _fit_tm(A, n_nvecs=4)
+        if tm is None:
+            raise ValueError(
+                "operator too large for the LSMR iteration megakernel "
+                "(see ops.megakernel_lsmr.lsmr_megakernel_supported)"
+            )
     if itnlim is None:
         itnlim = min(m, n)
     itnlim_r = int(itnlim)
