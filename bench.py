@@ -30,13 +30,17 @@ NDIAG = 11
 OFFSETS = tuple(range(-(NDIAG // 2), NDIAG // 2 + 1))
 
 
-def relay_health(iters=10, wait_healthy_s=900.0, poll_s=60.0):
+def relay_health(iters=10, wait_healthy_s=300.0, poll_s=60.0):
     """Chained 128MB elementwise bandwidth — the relay/chip occasionally
     enters a degraded state (~70 GB/s vs ~380-400 healthy; BENCHMARKS.md
     methodology). A degraded reading says nothing about the kernels, so
     poll (up to ``wait_healthy_s``) for recovery before measuring; if it
     never recovers, proceed anyway and report the health reading in the
-    JSON so the headline number is attributable."""
+    JSON so the headline number is attributable. (Measured 2026-08-17:
+    the degraded state hits this jit elementwise chain ~5x but the Pallas
+    DIA streaming kernels only ~10-15% — so a degraded reading mostly
+    flags attribution, not an unusable measurement; the poll is kept
+    short accordingly.)"""
     import jax
     import jax.numpy as jnp
 

@@ -119,9 +119,13 @@ class LSQROptions:
     scalar_dtype: Optional[str] = None
     #: route the solve through the iteration megakernel (K iterations per
     #: Pallas dispatch, ops.megakernel) when the operator supports it.
-    #: None = auto: on TPU backends, for supported DIA operators in f32
-    #: without wantse/trace — the dispatch-floor regime where it wins.
-    #: True forces (interpreted off-TPU), False disables.
+    #: True forces (interpreted off-TPU), False disables. None currently
+    #: means False: on this backend the regular bounded-loop path measures
+    #: 0.18-0.42 ms/iteration (m = 65K-500K) while the megakernel carries
+    #: ~28 ms/call fixed + ~40 us/grid-step overhead and loses at every
+    #: size (BENCHMARKS.md "iteration megakernel" section) — the ~0.6
+    #: ms/iteration dispatch floor it was built to amortize is no longer
+    #: present. Auto-routing will return if a backend shows that floor.
     megakernel: Optional[bool] = None
 
     def resolve_itnlim(self, n: int) -> int:

@@ -295,7 +295,9 @@ def craig(
 
         supported = dtype == jnp.float32 and craig_megakernel_supported(A)
         if megakernel is None:
-            megakernel = supported and jax.default_backend() == "tpu"
+            # auto-routing OFF: the regular path wins at every supported
+            # size on the measured backend (LSQROptions.megakernel docs).
+            megakernel = False
         if megakernel:
             if not supported:
                 raise ValueError(

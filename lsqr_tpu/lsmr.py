@@ -462,7 +462,9 @@ def lsmr(
             and lsmr_megakernel_supported(A, record_trace=record_trace)
         )
         if megakernel is None:
-            megakernel = supported and jax.default_backend() == "tpu"
+            # auto-routing OFF: the regular path wins at every supported
+            # size on the measured backend (LSQROptions.megakernel docs).
+            megakernel = False
         if megakernel:
             if not supported:
                 raise ValueError(

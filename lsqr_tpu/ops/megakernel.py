@@ -428,11 +428,16 @@ def _cached_call(ks, tks, m, n, nd, K, tm, interpret):
         _kernel, ks, tks, lo_f, lo_a, tm, win_f, win_a, nt_m, nt_n, m, n,
     )
 
+    # Stripe index maps: walk tiles ONLY in the phase that consumes the
+    # stripe and pin to the LAST-VISITED tile everywhere else, so the
+    # pipeline never re-fetches a block it already has (pinning to 0 made
+    # tdata stream twice per iteration — p2 walked it unused — and data
+    # re-fetch tile 0 every p1: ~1.5x the necessary stripe traffic).
     def index_data(k, p, t):
-        return (0, jnp.where(p == 0, jnp.minimum(t, nt_m - 1), 0))
+        return (0, jnp.where(p == 0, jnp.minimum(t, nt_m - 1), nt_m - 1))
 
     def index_tdata(k, p, t):
-        return (0, jnp.where(p == 0, 0, jnp.minimum(t, nt_n - 1)))
+        return (0, jnp.where(p == 1, jnp.minimum(t, nt_n - 1), nt_n - 1))
 
     whole = lambda k, p, t: (0,)
 
@@ -593,15 +598,26 @@ def lsqr_megakernel(
     state = put(state, ACT0,
                 jnp.where((beta0 > 0) & (alpha0 * beta0 != 0), 1.0, 0.0))
 
+    # Speculative host loop: the convergence check for call i syncs a host
+    # round trip (expensive on relayed backends), so call i+1 is ALWAYS
+    # dispatched first (async) and the check of call i's state overlaps
+    # with call i+1's execution. Post-convergence iterations are masked
+    # no-ops, so the one speculative call is harmless (<= K wasted masked
+    # iterations, same bound as the bounded-loop solver's segments).
     max_calls = -(-itnlim_r // K) + 1
+    prev_state = None
     for _ in range(max_calls):
         u, v, x, w, state = run(data_pad, tdata_pad, u, v, x, w, state)
-        if float(state[ISTOP, 0]) != 0.0 or float(state[ITN, 0]) >= itnlim_r:
-            break
+        if prev_state is not None:
+            pcol = np.asarray(prev_state[:, 0])
+            if pcol[ISTOP] != 0.0 or pcol[ITN] >= itnlim_r:
+                break
+        prev_state = state
+    col = np.asarray(state[:, 0])
 
     # the LAST iteration's tests may still be pending (they run at the next
     # p0 boundary); replicate them here in plain jnp if istop == 0
-    st = np.asarray(state[:, 0])
+    st = col  # final state column, already fetched by the loop
     istop = st[ISTOP]
     dnorm, dxmax, maxdx, acond, arnorm = (
         st[DNORM], st[DXMAX], st[MAXDX], st[ACOND], st[ARNORM])

@@ -347,11 +347,14 @@ def _cached_call(ks, tks, m, n, nd, K, tm, interpret):
         _kernel, ks, tks, lo, tm, win_f, win_a, nt_m, nt_n, m, n,
     )
 
+    # Walk stripes only in their consuming phase; pin to the last-visited
+    # tile elsewhere (see ops/megakernel.py — avoids re-streaming tdata in
+    # p2 and re-fetching data tile 0 every iteration).
     def index_data(k, p, t):
-        return (0, jnp.where(p == 0, jnp.minimum(t, nt_m - 1), 0))
+        return (0, jnp.where(p == 0, jnp.minimum(t, nt_m - 1), nt_m - 1))
 
     def index_tdata(k, p, t):
-        return (0, jnp.where(p == 0, 0, jnp.minimum(t, nt_n - 1)))
+        return (0, jnp.where(p == 1, jnp.minimum(t, nt_n - 1), nt_n - 1))
 
     whole = lambda k, p, t: (0,)
 
@@ -509,16 +512,25 @@ def lsmr_megakernel(
     state = put(state, ACT0,
                 jnp.where((beta0 > 0) & (alpha0 * beta0 != 0), 1.0, 0.0))
 
+    # Speculative host loop: dispatch call i+1 (async) BEFORE syncing the
+    # convergence check of call i, hiding the host round trip behind the
+    # next call's execution; post-convergence iterations are masked no-ops
+    # so the one speculative call is harmless (<= K masked iterations).
     max_calls = -(-itnlim_r // K) + 1
+    prev_state = None
     for _ in range(max_calls):
         u, v, x, h, hbar, state = run(data_pad, tdata_pad, u, v, x, h, hbar,
                                       state)
-        if float(state[ISTOP, 0]) != 0.0 or float(state[ITN, 0]) >= itnlim_r:
-            break
+        if prev_state is not None:
+            pcol = np.asarray(prev_state[:, 0])
+            if pcol[ISTOP] != 0.0 or pcol[ITN] >= itnlim_r:
+                break
+        prev_state = state
+    col = np.asarray(state[:, 0])
 
     # the LAST iteration's tests may still be pending (they run at the next
     # p0 boundary); replicate them here if istop == 0
-    st = np.asarray(state[:, 0])
+    st = col  # final state column, already fetched by the loop
     istop = st[ISTOP]
     normx = st[NORMX]
     if st[ACT0] > 0.5 and istop == 0.0 and st[ITN] > 0:

@@ -639,7 +639,11 @@ def lsqr(
             )
         )
         if mk is None:
-            mk = supported and jax.default_backend() == "tpu"
+            # auto-routing is OFF: on the measured backend the regular
+            # bounded-loop path beats the megakernel at every supported
+            # size (LSQROptions.megakernel docs / BENCHMARKS.md); pass
+            # megakernel=True to force it.
+            mk = False
         if mk:
             if not supported:
                 raise ValueError(

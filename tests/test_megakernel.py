@@ -192,3 +192,34 @@ def test_megakernel_ragged_tiles(rng, m, n):
     assert abs(int(res.itn) - int(ref.itn)) <= 1
     np.testing.assert_allclose(np.asarray(res.x), np.asarray(ref.x),
                                rtol=1e-3, atol=1e-4)
+
+
+def test_fit_tm_walks_down_on_vmem_pressure():
+    """Regression: m=n=500000 with 11 diagonals stack-allocated 16.05M at
+    tm=32768 (> the 16M scoped-VMEM limit) on the real toolchain; the
+    budget-aware selection must reject 32768 and settle on a smaller tile
+    that models under budget."""
+    from lsqr_tpu.ops.megakernel import (
+        _fit_tm, _pick_tm, _vmem_estimate, megakernel_supported,
+    )
+
+    m = n = 500_000
+    offs = tuple(range(-5, 6))
+    stripes = np.ones((len(offs), m), np.float32)
+    A = lt.dia_operator(m, n, offs, stripes, use_pallas=False)
+    ks = tuple(int(k) for k in np.asarray(A.offsets))
+    tks = tuple(int(k) for k in np.asarray(A.toffsets))
+
+    # the calibration point: the estimate must cover the observed 16.05M
+    est_32k = _vmem_estimate(ks, tks, m, n, len(offs), 4, 32768)
+    assert est_32k >= int(16.05 * 2**20)
+
+    assert _pick_tm(m, n) == 32768       # the preference that used to crash
+    tm = _fit_tm(A)
+    assert tm is not None and tm < 32768  # budget walk-down kicked in
+    assert _vmem_estimate(ks, tks, m, n, len(offs), 4, tm) <= 14 * 2**20
+    assert megakernel_supported(A)
+
+    # the sibling kernels keep more/fewer n-vectors resident
+    assert _fit_tm(A, n_nvecs=4) is not None
+    assert _fit_tm(A, n_nvecs=2) is not None
