@@ -45,6 +45,7 @@ from .ops.structured import (
     dia_operator,
     ell_operator,
 )
+from .cgls import CGLS_ISTOP_MESSAGES, CGLSResult, cgls
 from .craig import CRAIG_ISTOP_MESSAGES, CRAIGResult, craig
 from .lsmr import LSMR_ISTOP_MESSAGES, LSMRResult, lsmr
 from .solver import ISTOP_MESSAGES, LSQRResult, lsqr
@@ -63,6 +64,9 @@ __all__ = [
     "LSMRResult",
     "LSMR_ISTOP_MESSAGES",
     "craig",
+    "cgls",
+    "CGLSResult",
+    "CGLS_ISTOP_MESSAGES",
     "CRAIGResult",
     "CRAIG_ISTOP_MESSAGES",
     "acheck",

@@ -5,6 +5,7 @@ design)."""
 from .distributed import global_mesh, initialize_distributed, lsqr_multihost
 from .sharding import (
     ShardedCOO,
+    cgls_sharded,
     craig_sharded,
     lsmr_sharded,
     lsqr_sharded,
@@ -24,6 +25,7 @@ __all__ = [
     "lsqr_sharded_2d",
     "lsmr_sharded",
     "craig_sharded",
+    "cgls_sharded",
     "make_mesh_2d",
     "global_mesh",
     "initialize_distributed",

@@ -56,6 +56,7 @@ __all__ = [
     "lsqr_sharded_2d",
     "lsmr_sharded",
     "craig_sharded",
+    "cgls_sharded",
 ]
 
 
@@ -783,6 +784,59 @@ def lsmr_sharded(
             jnp.asarray(atol, dtype),
             jnp.asarray(btol, dtype),
             jnp.asarray(conlim, dtype),
+        )
+    )
+
+
+def cgls_sharded(
+    A,
+    b,
+    damp: float = 0.0,
+    *,
+    mesh: Optional[Mesh] = None,
+    axis_name: str = "rows",
+    atol: float = 1e-6,
+    btol: float = 1e-6,
+    itnlim: Optional[int] = None,
+    safe_norms: bool = True,
+):
+    """Row-partitioned distributed CGLS (see :func:`lsqr_tpu.cgls`)."""
+    from ..cgls import _cgls_impl
+
+    mesh = mesh if mesh is not None else make_mesh(axis_name=axis_name)
+    sharded, b_pad, dtype = _prep_row_shards(A, b, mesh, axis_name)
+    if itnlim is None:
+        itnlim = 4 * sharded.n
+    solver_kw = dict(itnlim=int(itnlim), safe_norms=safe_norms)
+    rpd = sharded.m_pad // mesh.shape[axis_name]
+    n = sharded.n
+
+    @partial(
+        jax.shard_map,
+        mesh=mesh,
+        in_specs=(P(axis_name), P(axis_name), P(axis_name), P(axis_name),
+                  P(), P(), P()),
+        out_specs=P(),
+        check_vma=False,
+    )
+    def run(vals_s, rows_s, cols_s, b_local, damp_, atol_, btol_):
+        op = _LocalRowShard(
+            vals=vals_s[0], rows=rows_s[0], cols=cols_s[0],
+            m=rpd, n=n, axis=axis_name, global_m=sharded.m,
+        )
+        return _cgls_impl(op, b_local.reshape(-1), damp_, atol_, btol_,
+                          **solver_kw)
+
+    return jax.jit(run)(
+        *_globalize(
+            mesh,
+            sharded.vals.astype(dtype),
+            sharded.rows,
+            sharded.cols,
+            b_pad,
+            jnp.asarray(damp, dtype),
+            jnp.asarray(atol, dtype),
+            jnp.asarray(btol, dtype),
         )
     )
 

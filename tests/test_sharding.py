@@ -259,3 +259,26 @@ def test_craig_sharded_matches_unsharded(rng):
     np.testing.assert_allclose(np.asarray(res.x), np.asarray(ref.x),
                                rtol=1e-7, atol=1e-10)
     np.testing.assert_allclose(float(res.xnorm), float(ref.xnorm), rtol=1e-9)
+
+
+def test_cgls_sharded_matches_unsharded(rng):
+    """Distributed CGLS (damped least squares) over the row partition."""
+    from lsqr_tpu.cgls import cgls
+    from lsqr_tpu.parallel.sharding import cgls_sharded, make_mesh
+
+    m, n = 150, 60  # over-determined, m % 8 != 0 exercises row padding
+    dense = rng.standard_normal((m, n))
+    r, c = np.nonzero(dense)
+    vals = dense[r, c]
+    A = lt.coo_operator(m, n, vals, r, c)
+    b = rng.standard_normal(m)
+
+    ref = cgls(A, b, 0.1, atol=0.0, btol=0.0, itnlim=25)
+    mesh = make_mesh(8)
+    res = cgls_sharded(A, b, 0.1, mesh=mesh, atol=0.0, btol=0.0, itnlim=25)
+    assert int(res.itn) == int(ref.itn)
+    np.testing.assert_allclose(np.asarray(res.x), np.asarray(ref.x),
+                               rtol=1e-7, atol=1e-10)
+    np.testing.assert_allclose(float(res.rnorm), float(ref.rnorm), rtol=1e-9)
+    np.testing.assert_allclose(float(res.arnorm), float(ref.arnorm),
+                               rtol=1e-6)
