@@ -43,6 +43,7 @@ from .ops.structured import (
     ELLOperator,
     block_ell_operator,
     dia_operator,
+    dia_shared_operator,
     ell_operator,
 )
 from .cgls import CGLS_ISTOP_MESSAGES, CGLSResult, cgls
@@ -96,6 +97,7 @@ __all__ = [
     "ELLOperator",
     "BlockELLOperator",
     "dia_operator",
+    "dia_shared_operator",
     "ell_operator",
     "block_ell_operator",
     "ComposedOperator",

@@ -32,6 +32,8 @@ __all__ = [
     "dia_matvec",
     "dia_matvec_axpy",
     "dia_fused_halfstep",
+    "dia_product_shared",
+    "dia_shared_geometry",
     "jdia_matvec",
 ]
 
@@ -1041,3 +1043,179 @@ def dia_fused_halfstep_v2(
     )(data, y2, sc, xp)
     ssq_total = ssq[0, 0] if smem else jnp.sum(ssq)
     return out[:m], ssq_total
+
+
+# ---------------------------------------------------------------------------
+# Shared-stripe DIA: forward AND adjoint products from ONE padded stripe
+# array (no tdata packing — halves operator HBM)
+# ---------------------------------------------------------------------------
+#
+# The adjoint of a DIA matrix reads the SAME entries as the forward, just
+# indexed from the column side:
+#
+#     forward:  y[i] = sum_d data[d, i]     * x[i + k_d]
+#     adjoint:  x[j] = sum_d data[d, j - k] * y[j - k_d]
+#
+# With data zero-padded by a halo H >= max(|k|) on both sides
+# (dp[d, H + i] = data[d, i]), both directions become static per-diagonal
+# slices of the same (nd, win) stripe window — the packed `tdata` copy
+# (and its 1x stripe memory) disappears. The window is DMA'd from HBM
+# per tile (double-buffered), like the x window of `dia_matvec`; the
+# stripe traffic per product is identical to the packed layout (plus the
+# ~2H/tm window overlap), so throughput matches while operator memory
+# halves.
+
+
+def _dia_shared_kernel(
+    offsets, H, tm, win, Lp, adjoint,
+    dp_hbm, vec_hbm, out_ref,
+    dw0, dw1, vw0, vw1, sem,
+):
+    """One grid step = one output tile of tm rows.
+
+    dp_hbm:  (nd*Lp,) FLAT padded shared stripes in HBM — flat because
+             Mosaic requires sublane-dim DMA slices to be 8-aligned, which
+             a (nd, win) window with nd=11 is not; per-diagonal 1-D window
+             DMAs (1024-aligned offsets) sidestep the constraint with no
+             padding traffic.
+    vec_hbm: (Lp,) padded input vector in HBM; window (win,) DMA'd.
+    dw*/vw*: flat (nd*win,) / (win,) VMEM scratch, double-buffered.
+    Slices per diagonal d (r = position in tile):
+      forward: dp[d, H + r] * vec[H + r + k]
+      adjoint: dp[d, H + r - k] * vec[H + r - k]
+    """
+    t = pl.program_id(0)
+    nt = pl.num_programs(0)
+    nd = len(offsets)
+    dbufs = (dw0, dw1)
+    vbufs = (vw0, vw1)
+
+    def dmas(slot, tile):
+        cps = [
+            pltpu.make_async_copy(
+                dp_hbm.at[pl.ds(d * Lp + tile * tm, win)],
+                dbufs[slot].at[pl.ds(d * win, win)],
+                sem.at[slot, d],
+            )
+            for d in range(nd)
+        ]
+        cps.append(
+            pltpu.make_async_copy(
+                vec_hbm.at[pl.ds(tile * tm, win)], vbufs[slot],
+                sem.at[slot, nd],
+            )
+        )
+        return cps
+
+    @pl.when(t == 0)
+    def _():
+        for c in dmas(0, 0):
+            c.start()
+
+    even = t % 2 == 0
+
+    @pl.when((t + 1 < nt) & even)
+    def _():
+        for c in dmas(1, t + 1):
+            c.start()
+
+    @pl.when((t + 1 < nt) & jnp.logical_not(even))
+    def _():
+        for c in dmas(0, t + 1):
+            c.start()
+
+    @pl.when(even)
+    def _():
+        for c in dmas(0, t):
+            c.wait()
+
+    @pl.when(jnp.logical_not(even))
+    def _():
+        for c in dmas(1, t):
+            c.wait()
+
+    dw = jnp.where(even, dw0[:], dw1[:])
+    vw = jnp.where(even, vw0[:], vw1[:])
+    acc = jnp.zeros((tm,), jnp.float32)
+    for d, k in enumerate(offsets):
+        sd = (H - k if adjoint else H) + d * win
+        sv = H - k if adjoint else H + k
+        seg_d = jax.lax.slice(dw, (sd,), (sd + tm,))
+        seg_v = jax.lax.slice(vw, (sv,), (sv + tm,))
+        acc = acc + seg_d.astype(jnp.float32) * seg_v.astype(jnp.float32)
+    out_ref[:] = acc.astype(out_ref.dtype)
+
+
+def dia_shared_geometry(offsets, m, n, tm_m, tm_n):
+    """(H, Lp) for the shared padded stripe array: H covers every static
+    slice both directions take; Lp covers the last tile's window of either
+    direction for ANY tile size up to max(tm_m, tm_n) — so one dp serves
+    every tm a product call may pick ((nt-1)*tm' + roundup(2H+tm', 1024)
+    < dim + 2H + tm' + 1024 for all tm' <= max(tm_m, tm_n))."""
+    ks = tuple(offsets)
+    H = max(max(ks), -min(ks), 0)
+    Lp = 2 * H + max(m, n) + max(tm_m, tm_n) + 1024
+    return H, -(-Lp // 1024) * 1024
+
+
+def _shared_tm(dim):
+    if dim >= 8_000_000:
+        return 65536
+    if dim >= 4_000_000:
+        return 32768
+    if dim >= 8192:
+        return 8192
+    return 1024 if dim >= 1024 else max(8, dim)
+
+
+@functools.partial(
+    jax.jit, static_argnames=("offsets", "m", "n", "adjoint", "interpret", "tm")
+)
+def dia_product_shared(
+    dp, vec, *, offsets, m, n, adjoint, interpret=False, tm=None
+):
+    """y = A @ x (adjoint=False, x: (n,) -> y: (m,)) or x = A' @ y
+    (adjoint=True, y: (m,) -> x: (n,)) from the SHARED padded stripes dp.
+
+    dp: FLAT (nd * Lp,) with dp[d * Lp + H + i] = A[i, i + offsets[d]] and
+    the geometry of :func:`dia_shared_geometry` (H, Lp must match). bf16
+    dp is a storage format: accumulation and the result are f32.
+    """
+    ks = tuple(offsets)
+    nd = len(ks)
+    dim_out = n if adjoint else m
+    dim_in = m if adjoint else n
+    if tm is None:
+        tm = _shared_tm(dim_out)
+        if dp.dtype == jnp.bfloat16:
+            tm = min(tm, 32768)
+    # CANONICAL geometry (independent of this call's tm) so dp built once
+    # serves both directions and any tm <= the canonical tile
+    H, Lp = dia_shared_geometry(ks, m, n, _shared_tm(m), _shared_tm(n))
+    assert dp.shape == (nd * Lp,), (dp.shape, nd, Lp)
+    nt = -(-dim_out // tm)
+    win = -(-(2 * H + tm) // 1024) * 1024
+    assert (nt - 1) * tm + win <= Lp, (tm, win, Lp)
+
+    vecp = jnp.zeros((Lp,), vec.dtype).at[H : H + dim_in].set(vec)
+    out_dtype = jnp.float32 if dp.dtype == jnp.bfloat16 else dp.dtype
+    kernel = functools.partial(_dia_shared_kernel, ks, H, tm, win, Lp, adjoint)
+    out = pl.pallas_call(
+        kernel,
+        grid=(nt,),
+        in_specs=[
+            pl.BlockSpec(memory_space=pl.ANY),  # dp stays in HBM
+            pl.BlockSpec(memory_space=pl.ANY),  # vec stays in HBM
+        ],
+        out_specs=pl.BlockSpec((tm,), lambda t: (t,), memory_space=pltpu.VMEM),
+        out_shape=jax.ShapeDtypeStruct((dim_out,), out_dtype),
+        scratch_shapes=[
+            pltpu.VMEM((nd * win,), dp.dtype),
+            pltpu.VMEM((nd * win,), dp.dtype),
+            pltpu.VMEM((win,), vec.dtype),
+            pltpu.VMEM((win,), vec.dtype),
+            pltpu.SemaphoreType.DMA((2, nd + 1)),
+        ],
+        interpret=interpret,
+    )(dp, vecp)
+    return out

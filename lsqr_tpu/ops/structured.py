@@ -36,6 +36,8 @@ __all__ = [
     "DIAOperator",
     "dia_operator_device",
     "dia_operator",
+    "DIASharedOperator",
+    "dia_shared_operator",
     "ELLOperator",
     "ell_operator",
     "BlockELLOperator",
@@ -275,6 +277,158 @@ def dia_operator(
         m=int(m),
         n=int(n),
         offsets=offsets,
+        use_pallas=use_pallas,
+    )
+
+
+
+
+# ---------------------------------------------------------------------------
+# DIA with SHARED stripes — one padded array serves both products
+# ---------------------------------------------------------------------------
+
+
+@jax.tree_util.register_dataclass
+@dataclasses.dataclass(frozen=True)
+class DIASharedOperator(LinearOperator):
+    """Banded m x n matrix storing ONE zero-padded stripe array that serves
+    both the forward and the adjoint product — no packed transpose copy, so
+    operator HBM is HALF of :class:`DIAOperator`'s (the largest bandable
+    problem per chip doubles).
+
+    ``dp[d, H + i] = A[i, i + offsets[d]]`` with halo ``H = max(|k|)``;
+    both products are static per-diagonal slices of (stripe, vector)
+    windows (ops/pallas_spmv.dia_product_shared). Stripe traffic per
+    product matches the packed layout (+ the ~2H/tile window overlap),
+    so throughput is on par. Trade-offs: the fused half-step and the
+    iteration megakernels require the packed layout (`prefers_fused` is
+    False here), and the distributed row shards pack per-shard copies —
+    use `dia_operator(...)` (packed) for those paths.
+    """
+
+    dp: jax.Array      # (ndiag * Lp,) FLAT padded shared stripes
+    m: int = dataclasses.field(metadata=dict(static=True))
+    n: int = dataclasses.field(metadata=dict(static=True))
+    offsets: tuple = dataclasses.field(metadata=dict(static=True))
+    H: int = dataclasses.field(metadata=dict(static=True))
+    use_pallas: object = dataclasses.field(default=None, metadata=dict(static=True))
+
+    @property
+    def dtype(self):
+        if self.dp.dtype == jnp.bfloat16:
+            return jnp.dtype(jnp.float32)
+        return self.dp.dtype
+
+    @property
+    def nnz(self) -> int:
+        return len(self.offsets) * self.m
+
+    @property
+    def Lp(self) -> int:
+        return self.dp.shape[0] // len(self.offsets)
+
+    @property
+    def data(self) -> jax.Array:
+        """The unpadded row-aligned stripes (lazy reshape+slice — fuses
+        under jit; kept for parity with DIAOperator introspection)."""
+        nd = len(self.offsets)
+        return jax.lax.slice(
+            self.dp.reshape(nd, self.Lp), (0, self.H), (nd, self.H + self.m)
+        )
+
+    def _pallas_selected(self, dim: int) -> bool:
+        if self.dp.dtype == jnp.float64:
+            return False
+        if self.use_pallas is None:
+            return dim >= 2_000_000 and jax.default_backend() == "tpu"
+        return bool(self.use_pallas)
+
+    @property
+    def prefers_bounded_loop(self) -> bool:
+        return self._pallas_selected(max(self.m, self.n))
+
+    @property
+    def prefers_fused(self) -> bool:
+        return False  # the fused axpy kernels read packed tdata
+
+    def _product_xla(self, vec, adjoint: bool):
+        ks = self.offsets
+        H = self.H
+        dim_out = self.n if adjoint else self.m
+        dim_in = self.m if adjoint else self.n
+        acc_dt = jnp.float32 if self.dp.dtype == jnp.bfloat16 else self.dp.dtype
+        Lp = self.Lp
+        vecp = jnp.zeros((Lp,), vec.dtype).at[H : H + dim_in].set(vec)
+        out = jnp.zeros((dim_out,), acc_dt)
+        for d, k in enumerate(ks):
+            s = (H - k if adjoint else H) + d * Lp
+            sv = H - k if adjoint else H + k
+            seg_d = jax.lax.slice(self.dp, (s,), (s + dim_out,))
+            seg_v = jax.lax.slice(vecp, (sv,), (sv + dim_out,))
+            out = out + seg_d.astype(acc_dt) * seg_v.astype(acc_dt)
+        return out
+
+    def matvec(self, x: jax.Array) -> jax.Array:
+        if self._pallas_selected(self.m):
+            from .pallas_spmv import dia_product_shared
+
+            return dia_product_shared(
+                self.dp, x, offsets=self.offsets, m=self.m, n=self.n,
+                adjoint=False,
+            )
+        return self._product_xla(x, adjoint=False)
+
+    def rmatvec(self, y: jax.Array) -> jax.Array:
+        if self._pallas_selected(self.n):
+            from .pallas_spmv import dia_product_shared
+
+            return dia_product_shared(
+                self.dp, y, offsets=self.offsets, m=self.m, n=self.n,
+                adjoint=True,
+            )
+        return self._product_xla(y, adjoint=True)
+
+    @property
+    def is_bf16_storage(self) -> bool:
+        return self.dp.dtype == jnp.bfloat16
+
+    def todense(self) -> jax.Array:
+        dense = jnp.zeros((self.m, self.n), self.dtype)
+        i = jnp.arange(self.m)
+        data = self.data
+        for j, k in enumerate(self.offsets):
+            cols = i + k
+            valid = (cols >= 0) & (cols < self.n)
+            dense = dense.at[i, jnp.clip(cols, 0, self.n - 1)].add(
+                jnp.where(valid, data[j], 0.0)
+            )
+        return dense
+
+
+def dia_shared_operator(
+    m, n, offsets: Sequence[int], data, *, dtype=None, use_pallas=None,
+    storage_dtype=None,
+) -> DIASharedOperator:
+    """Build a :class:`DIASharedOperator` (half the HBM of
+    :func:`dia_operator`). ``data`` has shape (len(offsets), m) as in
+    `dia_operator`; it may be a device array — the padding is a single
+    on-device copy (no transpose packing pass at all)."""
+    from .pallas_spmv import _shared_tm, dia_shared_geometry
+
+    offsets = tuple(int(k) for k in offsets)
+    nd = len(offsets)
+    data = jnp.asarray(data, dtype=dtype)
+    if data.shape != (nd, m):
+        raise ValueError(f"data must have shape ({nd}, {m}), got {data.shape}")
+    i = jnp.arange(m)
+    mask = jnp.stack([(i + k >= 0) & (i + k < n) for k in offsets])
+    data = data * mask.astype(data.dtype)
+    if storage_dtype is not None:
+        data = data.astype(storage_dtype)
+    H, Lp = dia_shared_geometry(offsets, m, n, _shared_tm(m), _shared_tm(n))
+    dp = jnp.zeros((nd, Lp), data.dtype).at[:, H : H + m].set(data).reshape(-1)
+    return DIASharedOperator(
+        dp=dp, m=int(m), n=int(n), offsets=offsets, H=H,
         use_pallas=use_pallas,
     )
 
