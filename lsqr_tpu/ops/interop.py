@@ -78,13 +78,19 @@ def from_scipy(sp_matrix, *, dtype=None, format: Optional[str] = None) -> Linear
     raise ValueError(f"unknown format {format!r}")
 
 
-def auto_operator(m, n, vals, rows, cols, *, dtype=None) -> LinearOperator:
+def auto_operator(m, n, vals, rows, cols, *, dtype=None,
+                  compact=False) -> LinearOperator:
     """Pick a TPU storage format from the sparsity pattern:
 
     1. few distinct diagonals covering all nnz        -> DIA
     2. jitter-bounded diagonals (>=95% slot fit)      -> JDIA
     3. blocky at (128, 128) (fill ratio <= 4x nnz)    -> BlockELL
     4. otherwise                                      -> ELL
+
+    ``compact=True`` selects the shared-stripe DIA form in case 1 (half
+    the operator HBM — one padded stripe array serves both products; see
+    :func:`lsqr_tpu.dia_shared_operator`) for problems at the memory
+    limit; the fused half-step path then stays off.
     """
     rows_np = np.asarray(rows)
     cols_np = np.asarray(cols)
@@ -99,7 +105,12 @@ def auto_operator(m, n, vals, rows, cols, *, dtype=None) -> LinearOperator:
         stripes = np.zeros((len(diags), m), vals_np.dtype)
         idx = np.searchsorted(diags, cols_np.astype(np.int64) - rows_np)
         np.add.at(stripes, (idx, rows_np), vals_np)
-        return dia_operator(m, n, tuple(int(k) for k in diags), stripes, dtype=dtype)
+        offs = tuple(int(k) for k in diags)
+        if compact:
+            from .structured import dia_shared_operator
+
+            return dia_shared_operator(m, n, offs, stripes, dtype=dtype)
+        return dia_operator(m, n, offs, stripes, dtype=dtype)
 
     # JDIA: jitter-bounded diagonals — the general-sparsity streaming path.
     # f64 packings route products through the XLA formulation (x64

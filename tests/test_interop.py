@@ -125,3 +125,21 @@ def test_lsqr_scipy_undamped_var(rng):
     assert ours[1] == ref[1] and ours[2] == ref[2]
     np.testing.assert_allclose(ours[0], ref[0], atol=1e-8)
     np.testing.assert_allclose(ours[9], ref[9], rtol=1e-3, atol=1e-12)
+
+
+def test_auto_operator_compact_dia(rng):
+    """compact=True selects the shared-stripe DIA form on banded patterns
+    (half the operator HBM; see test_dia_shared.py)."""
+    from lsqr_tpu.ops.interop import auto_operator
+    from lsqr_tpu.ops.structured import DIAOperator, DIASharedOperator
+
+    m = n = 200
+    rows = np.concatenate([np.arange(m), np.arange(1, m)])
+    cols = np.concatenate([np.arange(m), np.arange(1, m) - 1])
+    vals = rng.standard_normal(len(rows))
+    packed = auto_operator(m, n, vals, rows, cols)
+    compact = auto_operator(m, n, vals, rows, cols, compact=True)
+    assert isinstance(packed, DIAOperator)
+    assert isinstance(compact, DIASharedOperator)
+    np.testing.assert_array_equal(np.asarray(packed.todense()),
+                                  np.asarray(compact.todense()))
