@@ -6,6 +6,9 @@ from .distributed import global_mesh, initialize_distributed, lsqr_multihost
 from .sharding import (
     ShardedCOO,
     cgls_sharded,
+    cgls_sharded_2d,
+    craig_sharded_2d,
+    lsmr_sharded_2d,
     craig_sharded,
     lsmr_sharded,
     lsqr_sharded,
@@ -26,6 +29,9 @@ __all__ = [
     "lsmr_sharded",
     "craig_sharded",
     "cgls_sharded",
+    "lsmr_sharded_2d",
+    "craig_sharded_2d",
+    "cgls_sharded_2d",
     "make_mesh_2d",
     "global_mesh",
     "initialize_distributed",

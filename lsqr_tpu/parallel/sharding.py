@@ -57,6 +57,9 @@ __all__ = [
     "lsmr_sharded",
     "craig_sharded",
     "cgls_sharded",
+    "cgls_sharded_2d",
+    "craig_sharded_2d",
+    "lsmr_sharded_2d",
 ]
 
 
@@ -691,6 +694,155 @@ def lsqr_sharded_2d(
             jnp.asarray(opts.conlim, dtype),
         )
     )
+
+
+def _sharded_2d_prep(A, b, mesh, axis_names, dtype_hint=None):
+    """Common 2-D plumbing: block-partitioned COO shards + padded b."""
+    from ..ops.coo import COOOperator
+
+    if not isinstance(A, COOOperator):
+        raise TypeError("2-D sharded solvers expect a COOOperator")
+    ax_r, ax_c = axis_names
+    ndev_r = mesh.shape[ax_r]
+    ndev_c = mesh.shape[ax_c]
+    m, n = A.m, A.n
+    vals_s, rows_s, cols_s, m_pad, n_pad = _shard_coo_2d(A, ndev_r, ndev_c)
+    dtype = dtype_hint or jnp.result_type(jnp.asarray(b).dtype, vals_s.dtype)
+    if not jnp.issubdtype(dtype, jnp.floating):
+        from ..config import default_dtype
+
+        dtype = default_dtype()
+    b = jnp.asarray(b, dtype)
+    if b.shape != (m,):
+        raise ValueError(f"b must have shape ({m},), got {b.shape}")
+    b_pad = jnp.zeros((m_pad,), dtype).at[:m].set(b)
+    rpd = m_pad // ndev_r
+    cpd = n_pad // ndev_c
+    return vals_s, rows_s, cols_s, b_pad, rpd, cpd, dtype
+
+
+def _make_2d_runner(mesh, axis_names, rpd, cpd, m, n, dtype, impl, n_scalars):
+    """shard_map wrapper shared by the 2-D sibling solvers: builds the
+    local block operator, runs `impl(op, b_local, *scalars)`, all_gathers
+    the column-sharded x."""
+    ax_r, ax_c = axis_names
+
+    @partial(
+        jax.shard_map,
+        mesh=mesh,
+        in_specs=(P(ax_r, ax_c), P(ax_r, ax_c), P(ax_r, ax_c), P(ax_r))
+                 + (P(),) * n_scalars,
+        out_specs=P(),
+        check_vma=False,
+    )
+    def run(vals_l, rows_l, cols_l, b_local, *scalars):
+        op = _Local2DShard(
+            vals=vals_l[0, 0].astype(dtype),
+            rows=rows_l[0, 0],
+            cols=cols_l[0, 0],
+            m=rpd,
+            n=cpd,
+            axis_m=ax_r,
+            axis_n=ax_c,
+            global_m=m,
+            global_n=n,
+        )
+        res = impl(op, b_local.reshape(-1), *scalars)
+        x_full = jax.lax.all_gather(res.x, ax_c, tiled=True)[:n]
+        return res._replace(x=x_full)
+
+    return run
+
+
+def lsmr_sharded_2d(
+    A, b, damp: float = 0.0, *,
+    mesh: Optional[Mesh] = None,
+    mesh_shape: Optional[tuple] = None,
+    axis_names: tuple = ("rows", "cols"),
+    atol: float = 1e-6, btol: float = 1e-6, conlim: float = 0.0,
+    itnlim: Optional[int] = None, safe_norms: bool = True,
+):
+    """LSMR over a 2-D (rows x cols) block partition (see
+    :func:`lsqr_sharded_2d` for the partition/collective layout)."""
+    from ..lsmr import _lsmr_impl
+
+    if mesh is None:
+        mesh = make_mesh_2d(mesh_shape, axis_names)
+    vals_s, rows_s, cols_s, b_pad, rpd, cpd, dtype = _sharded_2d_prep(
+        A, b, mesh, axis_names)
+    if itnlim is None:
+        itnlim = min(A.m, A.n)
+    kw = dict(itnlim=int(itnlim), safe_norms=safe_norms,
+              record_trace=False)
+
+    def impl(op, bl, damp_, atol_, btol_, conlim_):
+        return _lsmr_impl(op, bl, damp_, atol_, btol_, conlim_, **kw)
+
+    run = _make_2d_runner(mesh, axis_names, rpd, cpd, A.m, A.n, dtype,
+                          impl, 4)
+    return jax.jit(run)(*_globalize(
+        mesh, vals_s.astype(dtype), rows_s, cols_s, b_pad,
+        jnp.asarray(damp, dtype), jnp.asarray(atol, dtype),
+        jnp.asarray(btol, dtype), jnp.asarray(conlim, dtype)))
+
+
+def craig_sharded_2d(
+    A, b, *,
+    mesh: Optional[Mesh] = None,
+    mesh_shape: Optional[tuple] = None,
+    axis_names: tuple = ("rows", "cols"),
+    atol: float = 1e-6, btol: float = 1e-6,
+    itnlim: Optional[int] = None, safe_norms: bool = True,
+):
+    """CRAIG over a 2-D (rows x cols) block partition."""
+    from ..craig import _craig_impl
+
+    if mesh is None:
+        mesh = make_mesh_2d(mesh_shape, axis_names)
+    vals_s, rows_s, cols_s, b_pad, rpd, cpd, dtype = _sharded_2d_prep(
+        A, b, mesh, axis_names)
+    if itnlim is None:
+        itnlim = min(A.m, A.n)
+    kw = dict(itnlim=int(itnlim), safe_norms=safe_norms)
+
+    def impl(op, bl, atol_, btol_):
+        return _craig_impl(op, bl, atol_, btol_, **kw)
+
+    run = _make_2d_runner(mesh, axis_names, rpd, cpd, A.m, A.n, dtype,
+                          impl, 2)
+    return jax.jit(run)(*_globalize(
+        mesh, vals_s.astype(dtype), rows_s, cols_s, b_pad,
+        jnp.asarray(atol, dtype), jnp.asarray(btol, dtype)))
+
+
+def cgls_sharded_2d(
+    A, b, damp: float = 0.0, *,
+    mesh: Optional[Mesh] = None,
+    mesh_shape: Optional[tuple] = None,
+    axis_names: tuple = ("rows", "cols"),
+    atol: float = 1e-6, btol: float = 1e-6,
+    itnlim: Optional[int] = None, safe_norms: bool = True,
+):
+    """CGLS over a 2-D (rows x cols) block partition."""
+    from ..cgls import _cgls_impl
+
+    if mesh is None:
+        mesh = make_mesh_2d(mesh_shape, axis_names)
+    vals_s, rows_s, cols_s, b_pad, rpd, cpd, dtype = _sharded_2d_prep(
+        A, b, mesh, axis_names)
+    if itnlim is None:
+        itnlim = 4 * A.n
+    kw = dict(itnlim=int(itnlim), safe_norms=safe_norms)
+
+    def impl(op, bl, damp_, atol_, btol_):
+        return _cgls_impl(op, bl, damp_, atol_, btol_, **kw)
+
+    run = _make_2d_runner(mesh, axis_names, rpd, cpd, A.m, A.n, dtype,
+                          impl, 3)
+    return jax.jit(run)(*_globalize(
+        mesh, vals_s.astype(dtype), rows_s, cols_s, b_pad,
+        jnp.asarray(damp, dtype), jnp.asarray(atol, dtype),
+        jnp.asarray(btol, dtype)))
 
 
 # ---------------------------------------------------------------------------

@@ -282,3 +282,45 @@ def test_cgls_sharded_matches_unsharded(rng):
     np.testing.assert_allclose(float(res.rnorm), float(ref.rnorm), rtol=1e-9)
     np.testing.assert_allclose(float(res.arnorm), float(ref.arnorm),
                                rtol=1e-6)
+
+
+@pytest.mark.parametrize("mesh_shape", [(2, 4), (1, 8)])
+def test_sibling_sharded_2d_matches_unsharded(rng, mesh_shape):
+    """LSMR/CRAIG/CGLS over the 2-D block partition (incl. pure column
+    sharding) at matched iteration counts."""
+    from lsqr_tpu.cgls import cgls
+    from lsqr_tpu.craig import craig
+    from lsqr_tpu.lsmr import lsmr
+    from lsqr_tpu.parallel.sharding import (
+        cgls_sharded_2d,
+        craig_sharded_2d,
+        lsmr_sharded_2d,
+        make_mesh_2d,
+    )
+
+    m, n = 90, 140  # under-determined, ragged in both mesh dims
+    dense = rng.standard_normal((m, n))
+    r, c = np.nonzero(dense)
+    A = lt.coo_operator(m, n, dense[r, c], r, c)
+    b = dense @ rng.standard_normal(n)  # consistent (CRAIG needs it)
+    mesh = make_mesh_2d(mesh_shape)
+
+    ref = lsmr(A, b, 0.01, itnlim=20, atol=0.0, btol=0.0, conlim=0.0)
+    res = lsmr_sharded_2d(A, b, 0.01, mesh=mesh, itnlim=20,
+                          atol=0.0, btol=0.0, conlim=0.0)
+    assert int(res.itn) == int(ref.itn)
+    np.testing.assert_allclose(np.asarray(res.x), np.asarray(ref.x),
+                               rtol=1e-7, atol=1e-10)
+
+    ref = craig(A, b, itnlim=20, atol=0.0, btol=0.0)
+    res = craig_sharded_2d(A, b, mesh=mesh, itnlim=20, atol=0.0, btol=0.0)
+    assert int(res.itn) == int(ref.itn)
+    np.testing.assert_allclose(np.asarray(res.x), np.asarray(ref.x),
+                               rtol=1e-7, atol=1e-10)
+
+    ref = cgls(A, b, 0.05, itnlim=20, atol=0.0, btol=0.0)
+    res = cgls_sharded_2d(A, b, 0.05, mesh=mesh, itnlim=20,
+                          atol=0.0, btol=0.0)
+    assert int(res.itn) == int(ref.itn)
+    np.testing.assert_allclose(np.asarray(res.x), np.asarray(ref.x),
+                               rtol=1e-7, atol=1e-10)
