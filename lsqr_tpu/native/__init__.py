@@ -22,6 +22,7 @@ __all__ = [
     "csr_from_coo",
     "block_pack",
     "coo_dedup",
+    "jdia_assign",
 ]
 
 _LIB = None
@@ -61,7 +62,7 @@ def _build_lib() -> str:
             return so_path
         try:
             subprocess.run(
-                ["g++", "-O3", "-shared", "-fPIC", "-std=c++17",
+                ["g++", "-O3", "-shared", "-fPIC", "-std=c++17", "-pthread",
                  "-o", so_path, _SRC],
                 check=True,
                 capture_output=True,
@@ -114,6 +115,14 @@ def _declare(lib):
         fn.argtypes = [i32p, i32p, fp, i64]
     lib.lsqr_block_count.restype = i64
     lib.lsqr_block_count.argtypes = [i32p, i32p, i64, i32, i32, i32, i64, i64p]
+    i8p = np.ctypeslib.ndpointer(np.int8, flags="C_CONTIGUOUS")
+    for sfx, fp in (("f32", f32p), ("f64", f64p)):
+        fn = getattr(lib, f"lsqr_jdia_assign_{sfx}")
+        fn.restype = None
+        fn.argtypes = [
+            i64p, i64p, fp, i64, i64, i32, i32, i32, i32p, i64p, i32p,
+            fp, i8p,
+        ]
 
 
 def available() -> bool:
@@ -285,3 +294,39 @@ def coo_dedup(rows, cols, vals):
     vals = vals.copy()
     out = int(getattr(lib, f"lsqr_coo_dedup_{sfx}")(rows, cols, vals, nnz))
     return rows[:out], cols[:out], vals[:out]
+
+
+# ---------------------------------------------------------------------------
+# JDIA greedy slot assignment
+# ---------------------------------------------------------------------------
+
+
+def jdia_assign(rows, deltas, vals, m_pad, tm, ns_max, jitter):
+    """Greedy jittered-diagonal slot assignment + slot-array fill (the hot
+    loop and scatter tail of ops/jdia._pack_side). Returns (assign_slot
+    (nnz,) int32 with -1 = unassigned, slot_d (nt, ns_max) int64 window
+    centers, slot_used (nt,) int32, data (ns_max, m_pad), eoff (ns_max,
+    m_pad) int8). None if the native library is unavailable (caller falls
+    back to the numpy loop)."""
+    lib = _lib()
+    if lib is None:
+        return None
+    rows = np.ascontiguousarray(rows, np.int64)
+    deltas = np.ascontiguousarray(deltas, np.int64)
+    vals = np.ascontiguousarray(vals)
+    if vals.dtype not in (np.float32, np.float64):
+        vals = vals.astype(np.float64)
+    sfx = "f32" if vals.dtype == np.float32 else "f64"
+    nnz = len(rows)
+    nt = m_pad // tm
+    assign_slot = np.empty(nnz, np.int32)
+    slot_d = np.empty(nt * ns_max, np.int64)
+    slot_used = np.empty(nt, np.int32)
+    data = np.zeros((ns_max, m_pad), vals.dtype)
+    eoff = np.zeros((ns_max, m_pad), np.int8)
+    getattr(lib, f"lsqr_jdia_assign_{sfx}")(
+        rows, deltas, vals, np.int64(nnz), np.int64(m_pad), np.int32(tm),
+        np.int32(ns_max), np.int32(jitter), assign_slot, slot_d, slot_used,
+        data, eoff,
+    )
+    return assign_slot, slot_d.reshape(nt, ns_max), slot_used, data, eoff

@@ -15,6 +15,7 @@
 #include <cstring>
 #include <unordered_map>
 #include <vector>
+#include <thread>
 
 extern "C" {
 
@@ -169,5 +170,114 @@ DEFINE_BLOCK_PACK(f64, double)
 
 DEFINE_DEDUP(f32, float)
 DEFINE_DEDUP(f64, double)
+
+
+// ---------------------------------------------------------------------------
+// JDIA greedy slot assignment + slot-array fill
+// (ops/jdia._pack_side's hot loop and scatter tail)
+//
+// Per row tile: repeatedly find the delta-window [c-J, c+J] covering the
+// most unassigned entries (sliding count over sorted deltas, FIRST argmax,
+// matching np.argmax), then assign at most one entry per row (first in
+// original order, matching np.unique(return_index=True)) to that slot,
+// writing the slot value and jitter offset directly into the output
+// arrays. The pure-numpy form costs ~74 s at 11M nnz (per-tile sorts and
+// 11M-element gathers through the interpreter); this is the production
+// ingest path.
+// ---------------------------------------------------------------------------
+
+#define DEFINE_JDIA_ASSIGN(SFX, T)                                           \
+  void lsqr_jdia_assign_##SFX(                                               \
+      const int64_t* rows, const int64_t* deltas, const T* vals,             \
+      int64_t nnz, int64_t m_pad, int32_t tm, int32_t ns_max,                \
+      int32_t jitter, int32_t* assign_slot, int64_t* slot_d,                 \
+      int32_t* slot_used, T* data, int8_t* eoff) {                           \
+    const int64_t nt = m_pad / tm;                                           \
+    for (int64_t i = 0; i < nnz; ++i) assign_slot[i] = -1;                   \
+    for (int64_t t = 0; t < nt * (int64_t)ns_max; ++t) slot_d[t] = 0;        \
+    for (int64_t t = 0; t < nt; ++t) slot_used[t] = 0;                       \
+                                                                             \
+    /* bucket entries by tile, preserving original order (stable) */         \
+    std::vector<int64_t> counts(nt + 1, 0);                                  \
+    for (int64_t i = 0; i < nnz; ++i) ++counts[rows[i] / tm + 1];            \
+    for (int64_t t = 0; t < nt; ++t) counts[t + 1] += counts[t];             \
+    std::vector<int64_t> order(nnz);                                         \
+    {                                                                        \
+      std::vector<int64_t> cursor(counts.begin(), counts.end() - 1);         \
+      for (int64_t i = 0; i < nnz; ++i) order[cursor[rows[i] / tm]++] = i;   \
+    }                                                                        \
+                                                                             \
+    /* tiles are fully independent (disjoint entries, slot rows and       \
+       data/eoff regions) — process them on a small thread pool */           \
+    const int64_t n_threads = std::max<int64_t>(                             \
+        1, std::min<int64_t>(                                                \
+               nt, std::min<int64_t>(                                        \
+                       16, std::thread::hardware_concurrency())));           \
+    auto work = [&](int64_t t_begin, int64_t t_end) {                        \
+    std::vector<int64_t> live_idx, live_next, ds;                            \
+    std::vector<int64_t> row_seen(tm, -1);                                   \
+    for (int64_t t = t_begin; t < t_end; ++t) {                              \
+      const int64_t lo = counts[t], hi = counts[t + 1];                      \
+      if (hi <= lo) continue;                                                \
+      live_idx.assign(order.begin() + lo, order.begin() + hi);               \
+      for (int32_t s = 0; s < ns_max && !live_idx.empty(); ++s) {            \
+        ds.clear();                                                          \
+        ds.reserve(live_idx.size());                                         \
+        for (int64_t i : live_idx) ds.push_back(deltas[i]);                  \
+        std::sort(ds.begin(), ds.end());                                     \
+        /* first argmax of (upper_bound(ds, ds[i] + 2J) - i) */              \
+        int64_t best = 0, best_cnt = -1;                                     \
+        const int64_t* dbeg = ds.data();                                     \
+        const int64_t* dend = dbeg + ds.size();                              \
+        for (size_t i = 0; i < ds.size(); ++i) {                             \
+          const int64_t* ub =                                                \
+              std::upper_bound(dbeg + i, dend, ds[i] + 2 * (int64_t)jitter); \
+          const int64_t cnt = (ub - dbeg) - (int64_t)i;                      \
+          if (cnt > best_cnt) { best_cnt = cnt; best = (int64_t)i; }         \
+        }                                                                    \
+        const int64_t center = ds[best] + jitter;                            \
+        const int64_t stamp_base = t * (int64_t)ns_max + s;                  \
+        live_next.clear();                                                   \
+        int64_t taken = 0;                                                   \
+        for (int64_t i : live_idx) {                                         \
+          const int64_t d = deltas[i];                                       \
+          if (d < center - jitter || d > center + jitter) {                  \
+            live_next.push_back(i);                                          \
+            continue;                                                        \
+          }                                                                  \
+          const int64_t rl = rows[i] - t * (int64_t)tm;                      \
+          if (row_seen[rl] == stamp_base) {                                  \
+            live_next.push_back(i);  /* row already claimed this slot */     \
+            continue;                                                        \
+          }                                                                  \
+          row_seen[rl] = stamp_base;                                         \
+          assign_slot[i] = s;                                                \
+          data[(int64_t)s * m_pad + rows[i]] = vals[i];                      \
+          eoff[(int64_t)s * m_pad + rows[i]] = (int8_t)(d - center);         \
+          ++taken;                                                           \
+        }                                                                    \
+        if (taken == 0) break;                                               \
+        slot_d[t * (int64_t)ns_max + s] = center;                            \
+        slot_used[t] = s + 1;                                                \
+        live_idx.swap(live_next);                                            \
+      }                                                                      \
+    }                                                                        \
+    };                                                                       \
+    if (n_threads == 1) {                                                    \
+      work(0, nt);                                                           \
+    } else {                                                                 \
+      std::vector<std::thread> pool;                                         \
+      const int64_t chunk = (nt + n_threads - 1) / n_threads;                \
+      for (int64_t w = 0; w < n_threads; ++w) {                              \
+        const int64_t b = w * chunk;                                         \
+        const int64_t e = std::min(nt, b + chunk);                           \
+        if (b < e) pool.emplace_back(work, b, e);                            \
+      }                                                                      \
+      for (auto& th : pool) th.join();                                       \
+    }                                                                        \
+  }
+
+DEFINE_JDIA_ASSIGN(f32, float)
+DEFINE_JDIA_ASSIGN(f64, double)
 
 }  // extern "C"

@@ -47,8 +47,23 @@ def _pack_side(rows, cols, vals, m, n, *, ns_max, tm, win_budget,
     nnz = len(vals)
     m_pad = max(-(-m // tm), 1) * tm
     nt = m_pad // tm
-    deltas = cols.astype(np.int64) - rows.astype(np.int64)
+    # asarray, not astype: the fixpoint calls this on already-int64
+    # arrays and astype always copies (measured 5s of the pack)
+    deltas = np.asarray(cols, np.int64) - np.asarray(rows, np.int64)
     tile_of = rows // tm
+
+    # hot loop: native C++ assigner when available (numpy form costs ~74 s
+    # at 11M nnz — per-tile sorts through the interpreter; see
+    # native/sparse_pack.cpp lsqr_jdia_assign, bit-identical greedy choices)
+    from ..native import jdia_assign
+
+    native = jdia_assign(rows, deltas, np.asarray(vals, dtype), m_pad, tm,
+                         ns_max, JITTER)
+    if native is not None:
+        assign_slot, slot_d, slot_used, data_full, eoff_full = native
+        return _finish_native(assign_slot, slot_d, slot_used, data_full,
+                              eoff_full, ns_max=ns_max, tm=tm,
+                              win_budget=win_budget, m_pad=m_pad, nt=nt)
 
     slot_d = np.zeros((nt, ns_max), np.int64)
     slot_used = np.zeros(nt, np.int32)
@@ -88,6 +103,47 @@ def _pack_side(rows, cols, vals, m, n, *, ns_max, tm, win_budget,
             slot_used[t] = s + 1
             unassigned[take] = False
 
+    return _finish_pack(rows, deltas, vals, m, n, assign_slot, slot_d,
+                        slot_used, ns_max=ns_max, tm=tm,
+                        win_budget=win_budget, m_pad=m_pad, nt=nt,
+                        dtype=dtype)
+
+
+def _finish_native(assign_slot, slot_d, slot_used, data_full, eoff_full, *,
+                   ns_max, tm, win_budget, m_pad, nt):
+    """Geometry + trimming tail for the native-filled packing (the slot
+    arrays arrive already scattered; only the window math and the
+    (ns, nt) base table remain)."""
+    nnz = len(assign_slot)
+    used_mask = (np.arange(ns_max)[None, :] < slot_used[:, None])
+    d_used = np.where(used_mask, slot_d, 0)
+    d_min = int(d_used.min()) if nnz else 0
+    d_max = int(d_used.max()) if nnz else 0
+    P_lo = max(0, -(d_min - JITTER))
+    win = P_lo + d_max - JITTER + tm + 2048
+    win = -(-win // 1024) * 1024
+    if win * 4 > win_budget:
+        raise ValueError(
+            f"JDIA padded-x window {win} floats exceeds budget; matrix "
+            "bandwidth too large for this tiling"
+        )
+    ns = max(int(slot_used.max()) if nnz else 0, 1)
+    data = np.ascontiguousarray(data_full[:ns])
+    eoff = np.ascontiguousarray(eoff_full[:ns])
+    ns_p = -(-ns // 8) * 8
+    nt_p = -(-nt // 128) * 128
+    base = np.zeros((ns_p, nt_p), np.int32)
+    base[:ns, :nt] = (P_lo + slot_d[:, :ns].T - JITTER).astype(np.int32)
+    fitted = assign_slot >= 0
+    return data, eoff, base, P_lo, int(win), m_pad, fitted
+
+
+def _finish_pack(rows, deltas, vals, m, n, assign_slot, slot_d, slot_used, *,
+                 ns_max, tm, win_budget, m_pad, nt, dtype):
+    """Vectorized tail of the packing: window geometry + slot-array fill
+    (shared by the native and numpy assignment paths)."""
+    nnz = len(vals)
+    tile_of = rows // tm
     # window geometry: global padded x with P_lo front margin
     used_mask = (np.arange(ns_max)[None, :] < slot_used[:, None])
     d_used = np.where(used_mask, slot_d, 0)
