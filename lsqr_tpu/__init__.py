@@ -26,7 +26,8 @@ from .diagnostics import ACheckResult, XCheckResult, acheck, xcheck
 from .ops.coo import COOOperator, coo_operator
 from .ops.linop import CallbackOperator, DenseOperator, LinearOperator, as_operator
 from .batch import lsqr_batch
-from .ops.interop import auto_operator, csr_operator, from_scipy, lsqr_scipy
+from .ops.interop import (auto_operator, csr_operator, from_scipy,
+                          lsqr_scipy, lsmr_scipy)
 from .ops.megakernel import lsqr_megakernel, megakernel_supported
 from .ops.megakernel_lsmr import lsmr_megakernel, lsmr_megakernel_supported
 from .ops.megakernel_craig import craig_megakernel, craig_megakernel_supported
@@ -85,6 +86,7 @@ __all__ = [
     "lsqr_batch",
     "from_scipy",
     "lsqr_scipy",
+    "lsmr_scipy",
     "lsqr_megakernel",
     "megakernel_supported",
     "lsmr_megakernel",

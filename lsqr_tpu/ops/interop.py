@@ -133,6 +133,65 @@ def auto_operator(m, n, vals, rows, cols, *, dtype=None,
         return ell_operator(m, n, vals_np, rows_np, cols_np, dtype=dtype)
 
 
+def lsmr_scipy(
+    A,
+    b,
+    damp: float = 0.0,
+    atol: float = 1e-6,
+    btol: float = 1e-6,
+    conlim: float = 1e8,
+    maxiter=None,
+    show: bool = False,
+    x0=None,
+):
+    """Drop-in replacement for ``scipy.sparse.linalg.lsmr``: same argument
+    names, same defaults, same 8-tuple return
+    ``(x, istop, itn, normr, normar, norma, conda, normx)``.
+
+    ``lsqr_tpu.lsmr`` already implements scipy's istop taxonomy (0-7) and
+    is cross-checked against it in tests/test_lsmr.py, so no code
+    translation is needed — only the tuple shape. See :func:`lsqr_scipy`
+    for the porting rationale."""
+    import numpy as np
+
+    from ..lsmr import lsmr
+
+    try:  # scipy sparse input
+        import scipy.sparse as _sp
+
+        if _sp.issparse(A):
+            A = from_scipy(A)
+    except ImportError:  # pragma: no cover
+        pass
+
+    res = lsmr(
+        A,
+        b,
+        damp,
+        atol=atol,
+        btol=btol,
+        conlim=conlim,
+        itnlim=maxiter,
+        x0=x0,
+    )
+    if show:
+        print(
+            f"istop = {int(res.istop)}  itn = {int(res.itn)}  "
+            f"normr = {float(res.normr):.3e}  "
+            f"normar = {float(res.normar):.3e}"
+        )
+    return (
+        np.asarray(res.x),
+        int(res.istop),
+        int(res.itn),
+        float(res.normr),
+        float(res.normar),
+        float(res.norma),
+        float(res.conda),
+        float(res.normx),
+    )
+
+
 def lsqr_scipy(
     A,
     b,

@@ -143,3 +143,30 @@ def test_auto_operator_compact_dia(rng):
     assert isinstance(compact, DIASharedOperator)
     np.testing.assert_array_equal(np.asarray(packed.todense()),
                                   np.asarray(compact.todense()))
+
+
+def test_lsmr_scipy_drop_in(rng):
+    """lsmr_scipy returns scipy.sparse.linalg.lsmr's exact 8-tuple shape
+    with matching values on a live scipy run."""
+    import scipy.sparse
+    import scipy.sparse.linalg
+
+    from lsqr_tpu.ops.interop import lsmr_scipy
+
+    m, n = 120, 60
+    dense = rng.standard_normal((m, n))
+    S = scipy.sparse.csr_matrix(dense)
+    b = rng.standard_normal(m)
+    ours = lsmr_scipy(S, b, damp=0.1, atol=1e-9, btol=1e-9)
+    ref = scipy.sparse.linalg.lsmr(S, b, damp=0.1, atol=1e-9, btol=1e-9)
+    assert len(ours) == len(ref) == 8
+    assert ours[1] == ref[1] and ours[2] == ref[2]  # istop, itn exact
+    np.testing.assert_allclose(ours[0], ref[0], atol=1e-8)
+    # the norm/condition ESTIMATES accumulate in different reduction
+    # orders (jnp vs numpy) — compare at estimate precision; x/istop/itn
+    # above are the strict part of the contract
+    for i in (3, 4, 5, 7):  # normr, normar, norma, normx
+        np.testing.assert_allclose(ours[i], ref[i], rtol=1e-3)
+    # conda (maxrbar/minrbar ratio) is the most rounding-sensitive
+    # estimate: observed ~0.3% drift from reduction order
+    np.testing.assert_allclose(ours[6], ref[6], rtol=1e-2)
