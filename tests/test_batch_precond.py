@@ -186,3 +186,23 @@ def test_batch_accepts_bounded_preferring_operator(rng):
     np.testing.assert_array_equal(np.asarray(res.itn), np.asarray(ref.itn))
     np.testing.assert_allclose(np.asarray(res.x), np.asarray(ref.x),
                                rtol=1e-5, atol=1e-6)
+
+
+def test_preconditioning_composes_with_siblings(rng):
+    """Column scaling is solver-agnostic (operator-level composition):
+    LSMR and CGLS converge faster on the scaled operator and recover the
+    same least-squares solution."""
+    m, n = 120, 50
+    dense = rng.standard_normal((m, n)) * np.logspace(0, 3, n)  # skewed cols
+    A = lt.DenseOperator(a=jnp.asarray(dense))
+    b = rng.standard_normal(m)
+    xref, *_ = np.linalg.lstsq(dense, b, rcond=None)
+    scaled_op, scale = column_scaled(A)
+
+    for solver in (lt.lsmr, lt.cgls):
+        raw = solver(A, b, atol=1e-12, btol=1e-12, itnlim=3000)
+        pre = solver(scaled_op, b, atol=1e-12, btol=1e-12, itnlim=3000)
+        x = np.asarray(scale) * np.asarray(pre.x)
+        assert int(pre.itn) < int(raw.itn) / 2, solver.__name__
+        np.testing.assert_allclose(x, xref, atol=1e-5,
+                                   err_msg=solver.__name__)
