@@ -121,24 +121,47 @@ def bench_cpu_serial(iters=4):
 
 
 def main():
-    relay_gbs = relay_health()
-    nnz_t, dt_t = bench_tpu()
-    gnnz_tpu = 2 * nnz_t / dt_t / 1e9
+    # Watchdog: a wedged relay compile helper hangs remote compiles
+    # INDEFINITELY (observed 2026-08-17: one failed compile wedged every
+    # subsequent compile for hours). A hang here would record nothing for
+    # the round — bound the whole TPU section and report honestly instead.
+    import signal
+
+    class _Timeout(Exception):
+        pass
+
+    def _alarm(signum, frame):
+        raise _Timeout()
+
+    signal.signal(signal.SIGALRM, _alarm)
+    error = None
+    relay_gbs = 0.0
+    gnnz_tpu = 0.0
+    try:
+        signal.alarm(40 * 60)
+        relay_gbs = relay_health()
+        nnz_t, dt_t = bench_tpu()
+        gnnz_tpu = 2 * nnz_t / dt_t / 1e9
+    except _Timeout:
+        error = "tpu bench timed out (relay compile path wedged)"
+    except Exception as e:  # report, don't hang the driver
+        error = f"tpu bench failed: {type(e).__name__}: {e}"[:200]
+    finally:
+        signal.alarm(0)
 
     nnz_c, dt_c = bench_cpu_serial()
     gnnz_cpu = 2 * nnz_c / dt_c / 1e9
 
-    print(
-        json.dumps(
-            {
-                "metric": "spmv_pair_throughput_banded_88Mnnz_f32",
-                "value": round(gnnz_tpu, 2),
-                "unit": "Gnnz/s",
-                "vs_baseline": round(gnnz_tpu / gnnz_cpu, 2),
-                "relay_health_gbs": round(relay_gbs),
-            }
-        )
-    )
+    record = {
+        "metric": "spmv_pair_throughput_banded_88Mnnz_f32",
+        "value": round(gnnz_tpu, 2),
+        "unit": "Gnnz/s",
+        "vs_baseline": round(gnnz_tpu / gnnz_cpu, 2),
+        "relay_health_gbs": round(relay_gbs),
+    }
+    if error is not None:
+        record["error"] = error
+    print(json.dumps(record))
 
 
 if __name__ == "__main__":
