@@ -7,6 +7,9 @@ from .sharding import (
     ShardedCOO,
     cgls_sharded,
     cgls_sharded_2d,
+    cgls_sharded_dia,
+    craig_sharded_dia,
+    lsmr_sharded_dia,
     craig_sharded_2d,
     lsmr_sharded_2d,
     craig_sharded,
@@ -32,6 +35,9 @@ __all__ = [
     "lsmr_sharded_2d",
     "craig_sharded_2d",
     "cgls_sharded_2d",
+    "lsmr_sharded_dia",
+    "craig_sharded_dia",
+    "cgls_sharded_dia",
     "make_mesh_2d",
     "global_mesh",
     "initialize_distributed",

@@ -58,6 +58,9 @@ __all__ = [
     "craig_sharded",
     "cgls_sharded",
     "cgls_sharded_2d",
+    "cgls_sharded_dia",
+    "craig_sharded_dia",
+    "lsmr_sharded_dia",
     "craig_sharded_2d",
     "lsmr_sharded_2d",
 ]
@@ -408,33 +411,12 @@ def lsqr_sharded_dia(
         opts = opts.replace(**option_overrides)
 
     mesh = mesh if mesh is not None else make_mesh(axis_name=axis_name)
-    ndev = mesh.shape[axis_name]
     m, n = A.m, A.n
-    m_pad = -(-m // ndev) * ndev
-    rpd = m_pad // ndev
-    nd = len(A.offsets)
-
-    # stacked per-device stripe slices (ndev, ndiag, rpd)
-    dpad = jnp.zeros((nd, m_pad), A.data.dtype).at[:, :m].set(A.data)
-    data_s = dpad.reshape(nd, ndev, rpd).swapaxes(0, 1)
-    # per-device transpose stripes masked to the shard's rows:
-    # tdata[j, c] belongs to row c - k
-    col = jnp.arange(n)
-    tdata_s = []
-    for d in range(ndev):
-        rows_of = [col - k for k in A.offsets]
-        mask = jnp.stack(
-            [(r >= d * rpd) & (r < (d + 1) * rpd) for r in rows_of]
-        )
-        tdata_s.append(A.tdata * mask.astype(A.tdata.dtype))
-    tdata_s = jnp.stack(tdata_s)
-    row0s = jnp.arange(ndev, dtype=jnp.int32) * rpd
-
-    dtype = opts.dtype or A.data.dtype
-    b = jnp.asarray(b, dtype)
-    if b.shape != (m,):
-        raise ValueError(f"b must have shape ({m},), got {b.shape}")
-    b_pad = jnp.zeros((m_pad,), dtype).at[:m].set(b)
+    # stacked per-device stripe slices + row-masked transpose stripes
+    # (shared with the sibling DIA solvers)
+    data_s, tdata_s, row0s, b_pad, rpd, m_pad, dtype = _prep_dia_shards(
+        A, b, mesh, axis_name, dtype=opts.dtype
+    )
 
     itnlim = opts.resolve_itnlim(n)
     solver_kw = dict(
@@ -483,6 +465,117 @@ def lsqr_sharded_dia(
         jnp.asarray(opts.btol, dtype),
         jnp.asarray(opts.conlim, dtype),
     )
+
+
+def _prep_dia_shards(A, b, mesh, axis_name, dtype=None):
+    """Per-device stripe slices + masked transpose stripes + padded b for
+    a row-partitioned DIA operator (the plumbing of lsqr_sharded_dia,
+    shared with the sibling solvers)."""
+    from ..ops.structured import DIAOperator
+
+    if not isinstance(A, DIAOperator):
+        raise TypeError("the DIA sharded solvers expect a DIAOperator")
+    ndev = mesh.shape[axis_name]
+    m, n = A.m, A.n
+    m_pad = -(-m // ndev) * ndev
+    rpd = m_pad // ndev
+    nd = len(A.offsets)
+    dpad = jnp.zeros((nd, m_pad), A.data.dtype).at[:, :m].set(A.data)
+    data_s = dpad.reshape(nd, ndev, rpd).swapaxes(0, 1)
+    col = jnp.arange(n)
+    tdata_s = []
+    for d in range(ndev):
+        rows_of = [col - k for k in A.offsets]
+        mask = jnp.stack(
+            [(r >= d * rpd) & (r < (d + 1) * rpd) for r in rows_of]
+        )
+        tdata_s.append(A.tdata * mask.astype(A.tdata.dtype))
+    tdata_s = jnp.stack(tdata_s)
+    row0s = jnp.arange(ndev, dtype=jnp.int32) * rpd
+    dtype = dtype or A.data.dtype
+    b = jnp.asarray(b, dtype)
+    if b.shape != (m,):
+        raise ValueError(f"b must have shape ({m},), got {b.shape}")
+    b_pad = jnp.zeros((m_pad,), dtype).at[:m].set(b)
+    return data_s, tdata_s, row0s, b_pad, rpd, m_pad, dtype
+
+
+def _dia_sibling_sharded(impl, n_scalars):
+    """Factory for the sibling solvers over the banded row partition."""
+
+    def solve(A, b, *scalars, mesh=None, axis_name="rows",
+              itnlim=None, safe_norms=True, default_itnlim=None, **impl_kw):
+        mesh = mesh if mesh is not None else make_mesh(axis_name=axis_name)
+        data_s, tdata_s, row0s, b_pad, rpd, m_pad, dtype = _prep_dia_shards(
+            A, b, mesh, axis_name)
+        m, n = A.m, A.n
+        if itnlim is None:
+            itnlim = default_itnlim(m, n)
+        kw = dict(itnlim=int(itnlim), safe_norms=safe_norms, **impl_kw)
+        offsets = A.offsets
+
+        @partial(
+            jax.shard_map,
+            mesh=mesh,
+            in_specs=(P(axis_name), P(axis_name), P(axis_name),
+                      P(axis_name)) + (P(),) * n_scalars,
+            out_specs=P(),
+            check_vma=False,
+        )
+        def run(data_l, tdata_l, row0_l, b_local, *sc):
+            op = _LocalDIAShard(
+                data=data_l[0].astype(dtype),
+                tdata=tdata_l[0].astype(dtype),
+                row0=row0_l[0],
+                m=rpd,
+                n=n,
+                offsets=offsets,
+                axis=axis_name,
+                global_m=m,
+                global_m_pad=m_pad,
+            )
+            return impl(op, b_local.reshape(-1), *sc, **kw)
+
+        return jax.jit(run)(*_globalize(
+            mesh, data_s, tdata_s, row0s, b_pad,
+            *[jnp.asarray(s, dtype) for s in scalars]))
+
+    return solve
+
+
+def lsmr_sharded_dia(A, b, damp=0.0, *, mesh=None, axis_name="rows",
+                     atol=1e-6, btol=1e-6, conlim=0.0, itnlim=None,
+                     safe_norms=True):
+    """Row-partitioned distributed LSMR for a banded (DIA) operator (see
+    :func:`lsqr_sharded_dia` for the partition/collective layout)."""
+    from ..lsmr import _lsmr_impl
+
+    return _dia_sibling_sharded(_lsmr_impl, 4)(
+        A, b, damp, atol, btol, conlim, mesh=mesh, axis_name=axis_name,
+        itnlim=itnlim, safe_norms=safe_norms,
+        default_itnlim=lambda m, n: min(m, n), record_trace=False)
+
+
+def craig_sharded_dia(A, b, *, mesh=None, axis_name="rows",
+                      atol=1e-6, btol=1e-6, itnlim=None, safe_norms=True):
+    """Row-partitioned distributed CRAIG for a banded (DIA) operator."""
+    from ..craig import _craig_impl
+
+    return _dia_sibling_sharded(_craig_impl, 2)(
+        A, b, atol, btol, mesh=mesh, axis_name=axis_name,
+        itnlim=itnlim, safe_norms=safe_norms,
+        default_itnlim=lambda m, n: min(m, n))
+
+
+def cgls_sharded_dia(A, b, damp=0.0, *, mesh=None, axis_name="rows",
+                     atol=1e-6, btol=1e-6, itnlim=None, safe_norms=True):
+    """Row-partitioned distributed CGLS for a banded (DIA) operator."""
+    from ..cgls import _cgls_impl
+
+    return _dia_sibling_sharded(_cgls_impl, 3)(
+        A, b, damp, atol, btol, mesh=mesh, axis_name=axis_name,
+        itnlim=itnlim, safe_norms=safe_norms,
+        default_itnlim=lambda m, n: 4 * n)
 
 
 # ---------------------------------------------------------------------------

@@ -324,3 +324,47 @@ def test_sibling_sharded_2d_matches_unsharded(rng, mesh_shape):
     assert int(res.itn) == int(ref.itn)
     np.testing.assert_allclose(np.asarray(res.x), np.asarray(ref.x),
                                rtol=1e-7, atol=1e-10)
+
+
+def test_sibling_sharded_dia_matches_unsharded(rng):
+    """LSMR/CRAIG/CGLS over the banded row partition at matched iteration
+    counts, ragged row count (m % 8 != 0)."""
+    from lsqr_tpu.cgls import cgls
+    from lsqr_tpu.craig import craig
+    from lsqr_tpu.lsmr import lsmr
+    from lsqr_tpu.ops.structured import dia_operator
+    from lsqr_tpu.parallel.sharding import (
+        cgls_sharded_dia,
+        craig_sharded_dia,
+        lsmr_sharded_dia,
+        make_mesh,
+    )
+
+    m = n = 260  # 260 % 8 = 4 -> ragged shards
+    offsets = (-4, -1, 0, 2, 5)
+    data = rng.standard_normal((len(offsets), m))
+    data[2] += 5.0
+    A = dia_operator(m, n, offsets, data, use_pallas=False)
+    b = rng.standard_normal(m)
+    mesh = make_mesh(8)
+
+    ref = lsmr(A, b, 0.02, itnlim=25, atol=0.0, btol=0.0, conlim=0.0)
+    res = lsmr_sharded_dia(A, b, 0.02, mesh=mesh, itnlim=25,
+                           atol=0.0, btol=0.0, conlim=0.0)
+    assert int(res.itn) == int(ref.itn)
+    np.testing.assert_allclose(np.asarray(res.x), np.asarray(ref.x),
+                               rtol=1e-7, atol=1e-10)
+
+    bc = np.asarray(A.todense()) @ rng.standard_normal(n)  # consistent
+    ref = craig(A, bc, itnlim=25, atol=0.0, btol=0.0)
+    res = craig_sharded_dia(A, bc, mesh=mesh, itnlim=25, atol=0.0, btol=0.0)
+    assert int(res.itn) == int(ref.itn)
+    np.testing.assert_allclose(np.asarray(res.x), np.asarray(ref.x),
+                               rtol=1e-7, atol=1e-10)
+
+    ref = cgls(A, b, 0.05, itnlim=25, atol=0.0, btol=0.0)
+    res = cgls_sharded_dia(A, b, 0.05, mesh=mesh, itnlim=25,
+                           atol=0.0, btol=0.0)
+    assert int(res.itn) == int(ref.itn)
+    np.testing.assert_allclose(np.asarray(res.x), np.asarray(ref.x),
+                               rtol=1e-7, atol=1e-10)
