@@ -125,3 +125,20 @@ def test_cgls_anorm_is_lower_bound(rng):
     assert 0 < float(res.anorm) <= true_norm * (1 + 1e-10)
     # after a full solve the Rayleigh bound should be a decent estimate
     assert float(res.anorm) > 0.3 * true_norm
+
+
+def test_cgls_vmaps(rng):
+    """The while-loop form is a pure jittable function of b — multi-RHS
+    via plain jax.vmap (the lsqr-specific batcher is lsqr_batch)."""
+    m, n = 120, 60
+    A_np, _ = _dense_problem(rng, m, n)
+    op = as_operator(jnp.asarray(A_np))
+    B = jnp.asarray(rng.standard_normal((5, m)))
+
+    solve = jax.vmap(lambda b: lt.cgls(op, b, atol=0.0, btol=0.0,
+                                       itnlim=30).x)
+    X = solve(B)
+    for i in range(5):
+        seq = lt.cgls(op, B[i], atol=0.0, btol=0.0, itnlim=30)
+        np.testing.assert_allclose(np.asarray(X[i]), np.asarray(seq.x),
+                                   rtol=1e-9, atol=1e-12)
