@@ -33,6 +33,7 @@ __all__ = [
     "dia_matvec_axpy",
     "dia_fused_halfstep",
     "dia_product_shared",
+    "dia_product_shared_axpy",
     "dia_shared_geometry",
     "jdia_matvec",
 ]
@@ -1219,3 +1220,134 @@ def dia_product_shared(
         interpret=interpret,
     )(dp, vecp)
     return out
+
+
+def _dia_shared_axpy_kernel(
+    offsets, H, tm, win, Lp, adjoint,
+    c_ref, dp_hbm, vec_hbm, y_ref, out_ref,
+    dw0, dw1, vw0, vw1, sem,
+):
+    """Shared-stripe product + axpy: out = (A or A')(vec * c1) - c2 * y.
+
+    Same window DMA scheme as _dia_shared_kernel; y is read at the OUTPUT
+    tile index (aligned), so it rides the ordinary BlockSpec pipeline.
+    c_ref is a (1, 2) SMEM block holding (c1, c2)."""
+    t = pl.program_id(0)
+    nt = pl.num_programs(0)
+    nd = len(offsets)
+    dbufs = (dw0, dw1)
+    vbufs = (vw0, vw1)
+
+    def dmas(slot, tile):
+        cps = [
+            pltpu.make_async_copy(
+                dp_hbm.at[pl.ds(d * Lp + tile * tm, win)],
+                dbufs[slot].at[pl.ds(d * win, win)],
+                sem.at[slot, d],
+            )
+            for d in range(nd)
+        ]
+        cps.append(
+            pltpu.make_async_copy(
+                vec_hbm.at[pl.ds(tile * tm, win)], vbufs[slot],
+                sem.at[slot, nd],
+            )
+        )
+        return cps
+
+    @pl.when(t == 0)
+    def _():
+        for c in dmas(0, 0):
+            c.start()
+
+    even = t % 2 == 0
+
+    @pl.when((t + 1 < nt) & even)
+    def _():
+        for c in dmas(1, t + 1):
+            c.start()
+
+    @pl.when((t + 1 < nt) & jnp.logical_not(even))
+    def _():
+        for c in dmas(0, t + 1):
+            c.start()
+
+    @pl.when(even)
+    def _():
+        for c in dmas(0, t):
+            c.wait()
+
+    @pl.when(jnp.logical_not(even))
+    def _():
+        for c in dmas(1, t):
+            c.wait()
+
+    dw = jnp.where(even, dw0[:], dw1[:])
+    vw = jnp.where(even, vw0[:], vw1[:])
+    c1 = c_ref[0, 0]
+    c2 = c_ref[0, 1]
+    acc = (-c2) * y_ref[:].astype(jnp.float32)
+    for d, k in enumerate(offsets):
+        sd = (H - k if adjoint else H) + d * win
+        sv = H - k if adjoint else H + k
+        seg_d = jax.lax.slice(dw, (sd,), (sd + tm,))
+        seg_v = jax.lax.slice(vw, (sv,), (sv + tm,))
+        acc = acc + seg_d.astype(jnp.float32) * (
+            seg_v.astype(jnp.float32) * c1
+        )
+    out_ref[:] = acc.astype(out_ref.dtype)
+
+
+@functools.partial(
+    jax.jit, static_argnames=("offsets", "m", "n", "adjoint", "interpret", "tm")
+)
+def dia_product_shared_axpy(
+    dp, vec, y, c1, c2, *, offsets, m, n, adjoint, interpret=False, tm=None
+):
+    """out = A(vec*c1) - c2*y (adjoint=False) or A'(vec*c1) - c2*y
+    (adjoint=True) from the SHARED padded stripes — the bidiagonalization
+    half-step's vector work in one streaming pass (the shared-layout
+    sibling of dia_matvec_axpy; reference op sequence lsqr.f90:681-699)."""
+    ks = tuple(offsets)
+    nd = len(ks)
+    dim_out = n if adjoint else m
+    dim_in = m if adjoint else n
+    if tm is None:
+        tm = _shared_tm(dim_out)
+        if dp.dtype == jnp.bfloat16:
+            tm = min(tm, 32768)
+    H, Lp = dia_shared_geometry(ks, m, n, _shared_tm(m), _shared_tm(n))
+    assert dp.shape == (nd * Lp,), (dp.shape, nd, Lp)
+    nt = -(-dim_out // tm)
+    win = -(-(2 * H + tm) // 1024) * 1024
+    assert (nt - 1) * tm + win <= Lp, (tm, win, Lp)
+
+    vecp = jnp.zeros((Lp,), vec.dtype).at[H : H + dim_in].set(vec)
+    ypad = jnp.zeros((nt * tm,), y.dtype).at[:dim_out].set(y)
+    cs = jnp.stack([jnp.asarray(c1, jnp.float32),
+                    jnp.asarray(c2, jnp.float32)]).reshape(1, 2)
+    out_dtype = jnp.float32 if dp.dtype == jnp.bfloat16 else dp.dtype
+    kernel = functools.partial(
+        _dia_shared_axpy_kernel, ks, H, tm, win, Lp, adjoint
+    )
+    out = pl.pallas_call(
+        kernel,
+        grid=(nt,),
+        in_specs=[
+            pl.BlockSpec((1, 2), lambda t: (0, 0), memory_space=pltpu.SMEM),
+            pl.BlockSpec(memory_space=pl.ANY),
+            pl.BlockSpec(memory_space=pl.ANY),
+            pl.BlockSpec((tm,), lambda t: (t,), memory_space=pltpu.VMEM),
+        ],
+        out_specs=pl.BlockSpec((tm,), lambda t: (t,), memory_space=pltpu.VMEM),
+        out_shape=jax.ShapeDtypeStruct((nt * tm,), out_dtype),
+        scratch_shapes=[
+            pltpu.VMEM((nd * win,), dp.dtype),
+            pltpu.VMEM((nd * win,), dp.dtype),
+            pltpu.VMEM((win,), vec.dtype),
+            pltpu.VMEM((win,), vec.dtype),
+            pltpu.SemaphoreType.DMA((2, nd + 1)),
+        ],
+        interpret=interpret,
+    )(cs, dp, vecp, ypad)
+    return out[:dim_out]

@@ -349,7 +349,29 @@ class DIASharedOperator(LinearOperator):
 
     @property
     def prefers_fused(self) -> bool:
-        return False  # the fused axpy kernels read packed tdata
+        # the shared-layout product+axpy kernel covers the fused path
+        # (ops/pallas_spmv.dia_product_shared_axpy); bf16 stripes keep the
+        # plain products like the packed operator
+        if self.dp.dtype == jnp.bfloat16:
+            return False
+        return self._pallas_selected(max(self.m, self.n))
+
+    def fused_halfstep(self, *, forward: bool, y, win, c1, c2):
+        """Fused bidiagonalization half-step on the shared stripes:
+          forward:  A  (win*c1) - c2*y   with y (m,), win (n,)
+          adjoint:  A' (win*c1) - c2*y   with y (n,), win (m,)
+        Returns (out, ssq(out)) — product+axpy in one streaming pass plus
+        an XLA norm reduction (the same split the packed operator uses on
+        TPU; see DIAOperator.fused_halfstep)."""
+        from .pallas_spmv import dia_product_shared_axpy
+
+        out = dia_product_shared_axpy(
+            self.dp, win, y, c1, c2, offsets=self.offsets, m=self.m,
+            n=self.n, adjoint=not forward,
+            interpret=jax.default_backend() != "tpu",
+        )
+        ssq = jnp.sum(jnp.square(out.astype(jnp.float32)))
+        return out, ssq
 
     def _product_xla(self, vec, adjoint: bool):
         ks = self.offsets
@@ -374,7 +396,7 @@ class DIASharedOperator(LinearOperator):
 
             return dia_product_shared(
                 self.dp, x, offsets=self.offsets, m=self.m, n=self.n,
-                adjoint=False,
+                adjoint=False, interpret=jax.default_backend() != "tpu",
             )
         return self._product_xla(x, adjoint=False)
 
@@ -384,7 +406,7 @@ class DIASharedOperator(LinearOperator):
 
             return dia_product_shared(
                 self.dp, y, offsets=self.offsets, m=self.m, n=self.n,
-                adjoint=True,
+                adjoint=True, interpret=jax.default_backend() != "tpu",
             )
         return self._product_xla(y, adjoint=True)
 

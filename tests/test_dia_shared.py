@@ -109,3 +109,48 @@ def test_shared_acheck_and_bf16(rng):
     out = Abf.matvec(x)
     np.testing.assert_allclose(np.asarray(out), np.asarray(ref),
                                rtol=2e-2, atol=2e-2)
+
+
+def test_shared_fused_halfstep_path(rng):
+    """use_pallas=True routes the shared operator through the fused
+    product+axpy kernel (interpret off-TPU); the solve matches the packed
+    XLA solve at matched iteration counts."""
+    m = n = 600
+    ks = (-2, -1, 0, 1, 2)
+    data = rng.standard_normal((5, m)).astype(np.float32)
+    data[2] += 5.0
+    As = dia_shared_operator(m, n, ks, data, use_pallas=True)
+    assert As.prefers_fused and As.prefers_bounded_loop
+    Ap = dia_operator(m, n, ks, data, use_pallas=False)
+    b = jnp.asarray(rng.standard_normal(m).astype(np.float32))
+    rs = lt.lsqr(As, b, 0.05, itnlim=25, atol=0.0, btol=0.0, conlim=0.0)
+    rp = lt.lsqr(Ap, b, 0.05, itnlim=25, atol=0.0, btol=0.0, conlim=0.0)
+    assert int(rs.itn) == int(rp.itn)
+    np.testing.assert_allclose(np.asarray(rs.x), np.asarray(rp.x),
+                               rtol=1e-5, atol=1e-6)
+
+
+def test_shared_axpy_kernel_oracle(rng):
+    """dia_product_shared_axpy vs the dense oracle, both directions,
+    rectangular + one-sided offsets, ragged tiles."""
+    from lsqr_tpu.ops.pallas_spmv import dia_product_shared_axpy
+
+    for (m, n, ks) in [(300, 300, (-2, -1, 0, 1, 2)),
+                       (200, 330, (-3, 0, 7, 60)),
+                       (330, 200, (-60, -3, 0, 5))]:
+        data = rng.standard_normal((len(ks), m)).astype(np.float32)
+        As = dia_shared_operator(m, n, ks, data)
+        A = np.asarray(dia_operator(m, n, ks, data, use_pallas=False).todense())
+        x = rng.standard_normal(n).astype(np.float32)
+        y = rng.standard_normal(m).astype(np.float32)
+        c1, c2 = 0.7, 1.3
+        fw = dia_product_shared_axpy(
+            As.dp, jnp.asarray(x), jnp.asarray(y), c1, c2, offsets=ks,
+            m=m, n=n, adjoint=False, interpret=True, tm=128)
+        np.testing.assert_allclose(np.asarray(fw), A @ (x * c1) - c2 * y,
+                                   atol=3e-5)
+        aj = dia_product_shared_axpy(
+            As.dp, jnp.asarray(y), jnp.asarray(x), c1, c2, offsets=ks,
+            m=m, n=n, adjoint=True, interpret=True, tm=128)
+        np.testing.assert_allclose(np.asarray(aj), A.T @ (y * c1) - c2 * x,
+                                   atol=3e-5)
