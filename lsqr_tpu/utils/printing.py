@@ -22,6 +22,7 @@ __all__ = [
     "format_iteration_log",
     "format_exit_block",
     "format_report",
+    "format_summary",
 ]
 
 
@@ -118,6 +119,37 @@ def format_exit_block(result: LSQRResult) -> str:
         f" Exit  LSQR.             ={dxmax / (xnorm + 1e-20): .1e}  *xnorm",
         f" Exit  LSQR.      {ISTOP_MESSAGES[istop]}",
     ]
+    return "\n".join(lines) + "\n"
+
+
+def format_summary(result) -> str:
+    """Solver-generic exit summary: works for any solver's result
+    NamedTuple (LSQRResult, LSMRResult, CRAIGResult, CGLSResult) by
+    introspecting its scalar fields; the solver name is derived from the
+    result type. For the reference's exact LIS exit block use
+    :func:`format_exit_block` (LSQR only)."""
+    name = type(result).__name__.replace("Result", "")
+    skip = {"x", "se", "trace", "istop", "itn"}
+    lines = [
+        f" Exit  {name}.      istop  ={int(result.istop):3d}"
+        f"               itn    ={int(result.itn):9d}"
+    ]
+    pairs = []
+    for field in result._fields:
+        if field in skip:
+            continue
+        v = getattr(result, field)
+        if v is None or getattr(v, "ndim", 0) != 0:
+            continue
+        pairs.append((field, float(v)))
+    for i in range(0, len(pairs), 2):
+        row = "".join(
+            f"{k:<7s}={v: .5e}     " for k, v in pairs[i:i + 2]
+        ).rstrip()
+        lines.append(f" Exit  {name}.      {row}")
+    msg = getattr(result, "istop_message", None)
+    if msg is not None:
+        lines.append(f" Exit  {name}.      {msg}")
     return "\n".join(lines) + "\n"
 
 

@@ -128,3 +128,25 @@ def test_debug_log_prints(rng, capfd):
     lines = [l for l in out.splitlines() if l.strip()]
     assert len(lines) >= int(res.itn)  # n<=40 => every iteration printed
     assert lines[0].split()[0] == "1"
+
+
+def test_format_summary_all_solvers(rng):
+    """format_summary works for every solver family's result type."""
+    import jax.numpy as jnp
+
+    from lsqr_tpu.ops.linop import as_operator
+    from lsqr_tpu.utils.printing import format_summary
+
+    A = as_operator(jnp.asarray(rng.standard_normal((50, 25))))
+    b = jnp.asarray(rng.standard_normal(50))
+    for solver, name in ((lt.lsqr, "LSQR"), (lt.lsmr, "LSMR"),
+                         (lt.cgls, "CGLS")):
+        out = format_summary(solver(A, b))
+        assert f"Exit  {name}" in out and "istop" in out
+        assert out.count("\n") >= 3
+    # craig needs a consistent system
+    n = 25
+    sq = rng.standard_normal((n, n)) + 4 * np.eye(n)
+    res = lt.craig(as_operator(jnp.asarray(sq)),
+                   jnp.asarray(sq @ rng.standard_normal(n)))
+    assert "Exit  CRAIG" in format_summary(res)
