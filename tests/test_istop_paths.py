@@ -130,3 +130,29 @@ def test_trace_matches_result(rng):
     np.testing.assert_allclose(trace[itn, 1], float(res.x[0]), rtol=1e-12)
     # row 0 is the pre-loop header line: test1 = 1 (lsqr.f90:663-669)
     assert trace[0, 3] == 1.0
+
+
+def test_degenerate_shapes_all_solvers():
+    """1x1, 1xn, mx1 and empty operators terminate correctly in every
+    solver (the reference supports any m, n >= 1; lsqr.f90:91-127 only
+    validates bounds)."""
+    import jax.numpy as jnp
+
+    from lsqr_tpu.ops.linop import as_operator
+
+    for (m, n) in [(1, 1), (1, 5), (5, 1)]:
+        A = as_operator(jnp.asarray(np.full((m, n), 2.0)))
+        b = jnp.asarray(np.ones(m))
+        for solver in (lt.lsqr, lt.lsmr, lt.cgls):
+            r = solver(A, b)
+            assert int(r.istop) == 1 and int(r.itn) == 1, (solver, m, n)
+            # exact LS solution of all-2s matrix against ones
+            expect = np.linalg.lstsq(np.full((m, n), 2.0), np.ones(m),
+                                     rcond=None)[0]
+            np.testing.assert_allclose(np.asarray(r.x), expect, atol=1e-6)
+
+    # an all-zero operator: x = 0 is the answer, zero iterations
+    A0 = lt.coo_operator(4, 3, np.zeros(0), np.zeros(0, np.int32),
+                         np.zeros(0, np.int32))
+    r = lt.lsqr(A0, jnp.asarray(np.ones(4)))
+    assert int(r.istop) == 0 and float(r.xnorm) == 0.0
