@@ -111,6 +111,13 @@ class LSQROptions:
     #: None = auto from the operator's prefers_fused property. Fused norms
     #: are plain (unscaled) sums of squares.
     fused: Optional[bool] = None
+    #: fuse BOTH products of each bidiagonalization step (u_new = A v -
+    #: alpha u and z = A' u_new, lsqr.f90:681-694) into ONE streaming pass
+    #: over the operator data (ops/pallas_spmv.dia_pair) — the stripes are
+    #: read once per iteration instead of twice, halving the dominant HBM
+    #: traffic. Implies the fused (unnormalized-carry) form. None = auto
+    #: from the operator's prefers_pair property; False disables.
+    pair: Optional[bool] = None
     #: optional WIDER dtype for the scalar recurrence only (e.g. "float64"
     #: with f32 vectors): the TPU-native mixed-precision robustness mode —
     #: vectors stream at f32 speed while the O(1)-per-iteration rotations

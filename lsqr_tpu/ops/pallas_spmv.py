@@ -32,6 +32,7 @@ __all__ = [
     "dia_matvec",
     "dia_matvec_axpy",
     "dia_fused_halfstep",
+    "dia_pair",
     "dia_product_shared",
     "dia_product_shared_axpy",
     "dia_shared_geometry",
@@ -1044,6 +1045,189 @@ def dia_fused_halfstep_v2(
     )(data, y2, sc, xp)
     ssq_total = ssq[0, 0] if smem else jnp.sum(ssq)
     return out[:m], ssq_total
+
+
+# ---------------------------------------------------------------------------
+# Fused product PAIR: u_new = A (v*c1) - c2*u  AND  z = A' u_new in ONE
+# stripe pass — the whole bidiagonalization step's matrix work per LSQR
+# iteration (lsqr.f90:681-694) reading the stripes ONCE instead of twice.
+# ---------------------------------------------------------------------------
+#
+# Key observation: the adjoint product A'u_{k+1} in the second half-step
+# consumes the vector the first half-step just produced, and normalization
+# commutes with A' (A'(u/beta) = (A'u)/beta). So one row-tile pass can
+#   (1) form the tile of u_new = A(v*c1) - c2*u  (as dia_matvec_axpy), and
+#   (2) immediately multiply the SAME stripe tile against u_new, giving the
+#       tile's additive contribution to z = A'u_new at column indices
+#       [t0+kmin, t1+kmax) — a per-diagonal STATIC shift inside a local
+#       (lo + tm + hi) accumulator, no scatter.
+# Per-tile z windows overlap neighbouring tiles by at most lo+hi entries;
+# the kernel emits them as disjoint (W,) partial blocks and the caller
+# overlap-adds with static pads (O(m) fused XLA, vs the O(nd*m) stripe
+# traffic saved). Stripe HBM traffic per LSQR iteration drops from
+# 2*nd*m to nd*m words — the dominant term for nd >= ~5.
+
+
+def _dia_pair_kernel(
+    offsets, lo, hi, tm, win, W, m_total,
+    data_ref, y_ref, sc_ref, x_hbm,
+    out_ref, z_ref, xw0_ref, xw1_ref, sem
+):
+    t = pl.program_id(0)
+    nt = pl.num_programs(0)
+    bufs = (xw0_ref, xw1_ref)
+
+    def window_dma(slot, tile):
+        return pltpu.make_async_copy(
+            x_hbm.at[pl.ds(tile * tm, win)], bufs[slot], sem.at[slot]
+        )
+
+    @pl.when(t == 0)
+    def _():
+        window_dma(0, 0).start()
+
+    even = t % 2 == 0
+
+    @pl.when((t + 1 < nt) & even)
+    def _():
+        window_dma(1, t + 1).start()
+
+    @pl.when((t + 1 < nt) & jnp.logical_not(even))
+    def _():
+        window_dma(0, t + 1).start()
+
+    @pl.when(even)
+    def _():
+        window_dma(0, t).wait()
+
+    @pl.when(jnp.logical_not(even))
+    def _():
+        window_dma(1, t).wait()
+
+    c1 = sc_ref[0, 0]
+    c2 = sc_ref[1, 0]
+    xw = jnp.where(even, xw0_ref[:], xw1_ref[:]).astype(jnp.float32) * c1
+
+    ragged = m_total % tm != 0
+    if ragged:
+        # rows beyond m: the stripe block is padded with UNDEFINED values —
+        # zero them so neither u_new nor the adjoint partials see garbage
+        # (y and x are zero-padded by the caller, so masked stripes suffice).
+        idx = t * tm + jax.lax.broadcasted_iota(jnp.int32, (tm, 1), 0)[:, 0]
+        valid = idx < m_total
+    stripes = []
+    for d in range(len(offsets)):
+        row = data_ref[d, :].astype(jnp.float32)
+        if ragged:
+            row = jnp.where(valid, row, 0.0)
+        stripes.append(row)
+
+    acc = (-c2) * y_ref[:].astype(jnp.float32)
+    for d, k in enumerate(offsets):
+        seg = jax.lax.slice(xw, (lo + k,), (lo + k + tm,))
+        acc = acc + stripes[d] * seg
+    out_ref[:] = acc.astype(out_ref.dtype)
+
+    # adjoint partials: z[t0 + r + k] += data[d, r] * u_new[r], emitted as a
+    # (W,) block whose position w maps to global column t0 - lo + w.
+    zacc = jnp.zeros((W,), jnp.float32)
+    for d, k in enumerate(offsets):
+        contrib = stripes[d] * acc
+        zacc = zacc + jax.lax.pad(
+            contrib, jnp.float32(0.0), [(lo + k, W - tm - lo - k, 0)]
+        )
+    z_ref[:] = zacc.astype(z_ref.dtype)
+
+
+def _overlap_add(zp, nt, tm, W, lo, n, dtype):
+    """Assemble z (n,) from per-tile partials zp (nt, W), where zp[t, w]
+    contributes to z[t*tm - lo + w]. Static pads only — no scatters."""
+    g = -(-W // tm)
+    # base shift so every target position is non-negative (lo may exceed tm
+    # for bands wider than the tile)
+    B = max(tm, -(-lo // tm) * tm)
+    rows = nt + g + B // tm + 1
+    zbig = jnp.zeros((rows, tm), jnp.float32)
+    for j in range(g):
+        sw = min(W, (j + 1) * tm) - j * tm
+        seg = jax.lax.slice(zp, (0, j * tm), (nt, j * tm + sw))
+        off = B - lo + j * tm
+        ro, co = divmod(off, tm)
+        piece = jnp.pad(seg, ((0, 0), (co, 2 * tm - co - sw)))
+        zbig = zbig + jnp.pad(
+            piece[:, :tm], ((ro, rows - nt - ro), (0, 0))
+        )
+        zbig = zbig + jnp.pad(
+            piece[:, tm:], ((ro + 1, rows - nt - ro - 1), (0, 0))
+        )
+    flat = zbig.reshape(-1)
+    avail = rows * tm - B
+    if n <= avail:
+        z = jax.lax.slice(flat, (B,), (B + n,))
+    else:
+        z = jnp.pad(jax.lax.slice(flat, (B,), (rows * tm,)), (0, n - avail))
+    return z.astype(dtype)
+
+
+def dia_pair(data, y, win_vec, c1, c2, *, offsets, m, n, interpret=False,
+             tm=None):
+    """One streaming pass over the stripes computing BOTH
+        u_new = DIA(data, offsets) @ (win_vec * c1)  -  c2 * y
+        z     = DIA(data, offsets)' @ u_new
+    with data: (ndiag, m) row-aligned stripes, y: (m,), win_vec: (n,).
+    Returns (u_new, z) with u_new: (m,), z: (n,). bf16 stripes are a
+    storage format: compute/accumulate in f32, f32 results."""
+    ks = tuple(offsets)
+    kmin, kmax = min(ks), max(ks)
+    if tm is None:
+        tm = 65536 if m >= 8_000_000 else (
+            32768 if m >= 4_000_000 else (8192 if m >= 8192 else max(1024, min(m, 1024)))
+        )
+        if data.dtype == jnp.bfloat16:
+            tm = min(tm, 32768)  # bf16 cast staging; see dia_matvec
+    nt = -(-m // tm)
+    lo = max(0, -kmin)
+    hi = max(0, kmax)
+    win = -(-(lo + kmax + tm) // 1024) * 1024
+    W = -(-(lo + tm + hi) // 1024) * 1024
+    xp_len = max(lo + n, (nt - 1) * tm + win)
+    xp_len = -(-xp_len // 1024) * 1024
+    xp = jnp.zeros((xp_len,), win_vec.dtype).at[lo : lo + n].set(win_vec)
+    y2 = jnp.zeros((nt * tm,), y.dtype).at[:m].set(y)
+    sc = jnp.zeros((8, 128), jnp.float32)
+    sc = sc.at[0, :].set(jnp.asarray(c1, jnp.float32))
+    sc = sc.at[1, :].set(jnp.asarray(c2, jnp.float32))
+
+    out_dtype = jnp.float32 if data.dtype == jnp.bfloat16 else data.dtype
+    kernel = functools.partial(_dia_pair_kernel, ks, lo, hi, tm, win, W, m)
+    out, zflat = pl.pallas_call(
+        kernel,
+        grid=(nt,),
+        in_specs=[
+            pl.BlockSpec((len(ks), tm), lambda t: (0, t), memory_space=pltpu.VMEM),
+            pl.BlockSpec((tm,), lambda t: (t,), memory_space=pltpu.VMEM),
+            pl.BlockSpec((8, 128), lambda t: (0, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec(memory_space=pl.ANY),
+        ],
+        out_specs=(
+            pl.BlockSpec((tm,), lambda t: (t,), memory_space=pltpu.VMEM),
+            pl.BlockSpec((W,), lambda t: (t,), memory_space=pltpu.VMEM),
+        ),
+        out_shape=(
+            jax.ShapeDtypeStruct((nt * tm,), out_dtype),
+            jax.ShapeDtypeStruct((nt * W,), jnp.float32),
+        ),
+        scratch_shapes=[
+            pltpu.VMEM((win,), win_vec.dtype),
+            pltpu.VMEM((win,), win_vec.dtype),
+            pltpu.SemaphoreType.DMA((2,)),
+        ],
+        interpret=interpret,
+    )(data, y2, sc, xp)
+    out = jax.lax.optimization_barrier(out)
+    zflat = jax.lax.optimization_barrier(zflat)
+    z = _overlap_add(zflat.reshape(nt, W), nt, tm, W, lo, n, out_dtype)
+    return out[:m], z
 
 
 # ---------------------------------------------------------------------------

@@ -141,6 +141,30 @@ class DIAOperator(LinearOperator):
             offsets=offs, m=m_out, n=n_in, interpret=True,
         )
 
+    @property
+    def prefers_pair(self) -> bool:
+        # the pair kernel reads the stripes ONCE for both products of the
+        # bidiagonalization step; profitable wherever the product kernels
+        # are (the adjoint reuses the forward stripes, so bf16 storage is
+        # supported — compute stays f32)
+        return self._pallas_selected(max(self.m, self.n))
+
+    def fused_pair(self, *, y, win, c1, c2):
+        """Both products of the bidiagonalization step in ONE stripe pass
+        (ops/pallas_spmv.dia_pair; reference op sequence lsqr.f90:681-694):
+            u_new = A (win*c1) - c2*y,     z = A' u_new
+        with y (m,), win (n,). Returns (u_new, z) — z unnormalized (the
+        1/beta normalization commutes with A' and is applied by the
+        caller). Halves the dominant stripe HBM traffic per iteration
+        vs calling the forward and adjoint kernels separately."""
+        from .pallas_spmv import dia_pair
+
+        interpret = jax.default_backend() != "tpu"
+        return dia_pair(
+            self.data, y, win, c1, c2,
+            offsets=self.offsets, m=self.m, n=self.n, interpret=interpret,
+        )
+
     def matvec(self, x: jax.Array) -> jax.Array:
         if self._pallas_selected(self.m):
             from .pallas_spmv import dia_matvec

@@ -139,6 +139,7 @@ def _build(
     safe_norms: bool,
     debug_log: bool,
     fused: bool = False,
+    pair: bool = False,
     scalar_dtype=None,
 ):
     """Construct the solver pieces: (carry0, cond_fun, body_fun, finalize).
@@ -275,22 +276,39 @@ def _build(
             # kernels (product + axpy + norm, ops/pallas_spmv.py).
             inv_alpha_prev = jnp.where(c.alpha > zero, one / jnp.where(c.alpha > zero, c.alpha, one), zero)
             inv_beta_prev = jnp.where(c.beta > zero, one / jnp.where(c.beta > zero, c.beta, one), zero)
-            # u_new = A v_true - alpha * u_true
-            u, ssq_u = A.fused_halfstep(
-                forward=True, y=c.u, win=c.v,
-                c1=inv_alpha_prev, c2=c.alpha * inv_beta_prev,
-            )
+            if pair:
+                # ONE stripe pass for both products (ops/pallas_spmv.
+                # dia_pair): u_new = A v_true - alpha u_true AND the raw
+                # adjoint z = A'u_new; the 1/beta normalization commutes
+                # with A' and is applied in the XLA epilogue below.
+                u, z_adj = A.fused_pair(
+                    y=c.u, win=c.v,
+                    c1=inv_alpha_prev, c2=c.alpha * inv_beta_prev,
+                )
+                ssq_u = jnp.sum(jnp.square(u))
+            else:
+                # u_new = A v_true - alpha * u_true
+                u, ssq_u = A.fused_halfstep(
+                    forward=True, y=c.u, win=c.v,
+                    c1=inv_alpha_prev, c2=c.alpha * inv_beta_prev,
+                )
             beta = jnp.sqrt(ssq_u).astype(dtype)
             temp = d2norm(c.alpha, beta)
             temp = d2norm(temp, damp)
             anorm = d2norm(c.anorm, temp)
             beta_pos = beta > zero
             inv_beta = jnp.where(beta_pos, one / jnp.where(beta_pos, beta, one), zero)
-            # v_new = A' u_true_new - beta * v_true
-            v_cand, ssq_v = A.fused_halfstep(
-                forward=False, y=c.v, win=u,
-                c1=inv_beta, c2=beta * inv_alpha_prev,
-            )
+            if pair:
+                # v_new = z/beta - beta * v_true (elementwise; fuses with
+                # the norm reduction in one XLA pass)
+                v_cand = z_adj * vc(inv_beta) - vc(beta * inv_alpha_prev) * c.v
+                ssq_v = jnp.sum(jnp.square(v_cand))
+            else:
+                # v_new = A' u_true_new - beta * v_true
+                v_cand, ssq_v = A.fused_halfstep(
+                    forward=False, y=c.v, win=u,
+                    c1=inv_beta, c2=beta * inv_alpha_prev,
+                )
             alpha_cand = jnp.sqrt(ssq_v).astype(dtype)
             v = jnp.where(beta_pos, v_cand, c.v)
             alpha = jnp.where(beta_pos, alpha_cand, c.alpha)
@@ -523,7 +541,7 @@ def _masked_body(cond_fun, body_fun):
     jax.jit,
     static_argnames=(
         "seg_len", "itnlim", "wantse", "nconv", "record_trace", "safe_norms",
-        "debug_log", "fused", "scalar_dtype",
+        "debug_log", "fused", "pair", "scalar_dtype",
     ),
 )
 def _segment_fori(A, b, damp, atol, btol, conlim, carry, *, seg_len, **static_opts):
@@ -541,7 +559,7 @@ def _segment_fori(A, b, damp, atol, btol, conlim, carry, *, seg_len, **static_op
     jax.jit,
     static_argnames=(
         "itnlim", "wantse", "nconv", "record_trace", "safe_norms", "debug_log",
-        "fused", "scalar_dtype",
+        "fused", "pair", "scalar_dtype",
     ),
 )
 def _finalize_only(A, b, damp, atol, btol, conlim, carry, **static_opts):
@@ -573,7 +591,7 @@ _lsqr_jit = jax.jit(
     _lsqr_impl,
     static_argnames=(
         "itnlim", "wantse", "nconv", "record_trace", "safe_norms", "debug_log",
-        "fused", "scalar_dtype",
+        "fused", "pair", "scalar_dtype",
     ),
 )
 
@@ -678,6 +696,18 @@ def lsqr(
             f"{type(A).__name__} does not implement fused_halfstep; "
             "set fused=False"
         )
+    pair = opts.pair
+    if pair is None:
+        pair = opts.fused is not False and bool(
+            getattr(A, "prefers_pair", False)
+        )
+    if pair and not hasattr(A, "fused_pair"):
+        raise ValueError(
+            f"{type(A).__name__} does not implement fused_pair; "
+            "set pair=False"
+        )
+    if pair:
+        fused = True  # the pair kernel requires the unnormalized carry
     scalar_dtype = opts.scalar_dtype
     if scalar_dtype is not None:
         scalar_dtype = str(jnp.dtype(scalar_dtype))
@@ -695,6 +725,7 @@ def lsqr(
         safe_norms=opts.safe_norms,
         debug_log=opts.debug_log,
         fused=fused,
+        pair=pair,
         scalar_dtype=scalar_dtype,
     )
     args = (

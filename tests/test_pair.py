@@ -1,0 +1,163 @@
+"""Fused product-PAIR kernel: one stripe pass computing both products of
+the bidiagonalization step (lsqr.f90:681-694) —
+
+    u_new = A (v*c1) - c2*u      and      z = A' u_new
+
+so the stripes are read ONCE per LSQR iteration instead of twice. Kernel
+correctness (interpret mode) across geometries, plus end-to-end solver
+equivalence with the generic path (pair=True vs default)."""
+
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+import lsqr_tpu as lt
+from lsqr_tpu.ops.pallas_spmv import dia_pair
+from lsqr_tpu.ops.structured import dia_operator
+
+
+def _dense_from_offsets(rng, m, n, offsets):
+    nd = len(offsets)
+    data = np.zeros((nd, m), np.float32)
+    A = np.zeros((m, n), np.float32)
+    i = np.arange(m)
+    for d, k in enumerate(offsets):
+        j = i + k
+        valid = (j >= 0) & (j < n)
+        vals = rng.standard_normal(m).astype(np.float32) * valid
+        data[d] = vals
+        A[i[valid], j[valid]] = vals[valid]
+    return data, A
+
+
+@pytest.mark.parametrize(
+    "m,n,offsets,tm",
+    [
+        (4096, 4096, (-2, -1, 0, 1, 2), 1024),   # square, aligned tiles
+        (5000, 5000, (-3, 0, 5), 1024),           # ragged last tile
+        (3000, 2000, (-5, -1, 0, 2), 1024),       # over-determined
+        (2000, 3000, (0, 1, 900), 1024),          # under-determined, wide k
+        (2048, 2048, (-1500, 0, 1500), 1024),     # offsets wider than tile
+        (1024, 1024, (0,), 1024),                 # single tile
+        (5000, 4000, (-4000, -1, 0), 1024),       # lo > tm
+    ],
+)
+def test_dia_pair_kernel(rng, m, n, offsets, tm):
+    data, A = _dense_from_offsets(rng, m, n, offsets)
+    v = rng.standard_normal(n).astype(np.float32)
+    y = rng.standard_normal(m).astype(np.float32)
+    c1, c2 = 0.7, 1.3
+    u_ref = A @ (v * np.float32(c1)) - np.float32(c2) * y
+    z_ref = A.T @ u_ref
+    u, z = dia_pair(
+        jnp.asarray(data), jnp.asarray(y), jnp.asarray(v), c1, c2,
+        offsets=offsets, m=m, n=n, interpret=True, tm=tm,
+    )
+    scale_u = np.abs(u_ref).max() + 1e-30
+    scale_z = np.abs(z_ref).max() + 1e-30
+    assert np.abs(np.asarray(u) - u_ref).max() / scale_u < 5e-6
+    assert np.abs(np.asarray(z) - z_ref).max() / scale_z < 5e-6
+
+
+def test_dia_pair_bf16_storage(rng):
+    m = n = 2048
+    offsets = (-1, 0, 3)
+    data, A = _dense_from_offsets(rng, m, n, offsets)
+    v = rng.standard_normal(n).astype(np.float32)
+    y = rng.standard_normal(m).astype(np.float32)
+    data16 = jnp.asarray(data).astype(jnp.bfloat16)
+    u, z = dia_pair(
+        data16, jnp.asarray(y), jnp.asarray(v), 1.0, 0.5,
+        offsets=offsets, m=m, n=n, interpret=True, tm=1024,
+    )
+    assert u.dtype == jnp.float32 and z.dtype == jnp.float32
+    A16 = np.asarray(data16.astype(jnp.float32))
+    dataf = A16  # bf16-rounded stripes, f32 compute
+    Af = np.zeros((m, n), np.float32)
+    i = np.arange(m)
+    for d, k in enumerate(offsets):
+        j = i + k
+        valid = (j >= 0) & (j < n)
+        Af[i[valid], j[valid]] = dataf[d][valid]
+    u_ref = Af @ v - np.float32(0.5) * y
+    z_ref = Af.T @ u_ref
+    assert np.abs(np.asarray(u) - u_ref).max() / (np.abs(u_ref).max()) < 1e-5
+    assert np.abs(np.asarray(z) - z_ref).max() / (np.abs(z_ref).max()) < 1e-5
+
+
+def _solve_pair_vs_ref(rng, m, n, offsets, damp, **kw):
+    nd = len(offsets)
+    data = rng.standard_normal((nd, m)).astype(np.float32)
+    if 0 in offsets:
+        data[offsets.index(0)] += 6.0
+    A = dia_operator(m, n, offsets, data, use_pallas=False)
+    b = rng.standard_normal(m).astype(np.float32)
+    ref = lt.lsqr(A, b, damp, atol=1e-6, btol=1e-6, **kw)
+    res = lt.lsqr(A, b, damp, atol=1e-6, btol=1e-6, pair=True, **kw)
+    assert int(res.istop) == int(ref.istop)
+    assert abs(int(res.itn) - int(ref.itn)) <= 2
+    scale = float(jnp.max(jnp.abs(ref.x))) + 1e-30
+    assert float(jnp.max(jnp.abs(res.x - ref.x))) / scale < 1e-4
+    return ref, res
+
+
+def test_pair_solver_square(rng):
+    _solve_pair_vs_ref(rng, 3000, 3000, (-2, -1, 0, 1, 3), 0.01)
+
+
+def test_pair_solver_rect_damped_wantse(rng):
+    ref, res = _solve_pair_vs_ref(
+        rng, 2500, 1500, (-1, 0, 2), 0.1, wantse=True
+    )
+    np.testing.assert_allclose(
+        np.asarray(res.se), np.asarray(ref.se), rtol=5e-2, atol=1e-5
+    )
+
+
+def test_pair_solver_underdetermined(rng):
+    _solve_pair_vs_ref(rng, 1500, 2400, (-1, 0, 2), 0.0)
+
+
+def test_pair_bounded_loop(rng):
+    m = n = 2000
+    offsets = (-1, 0, 1)
+    data = rng.standard_normal((3, m)).astype(np.float32)
+    data[1] += 5.0
+    A = dia_operator(m, n, offsets, data, use_pallas=False)
+    b = rng.standard_normal(m).astype(np.float32)
+    ref = lt.lsqr(A, b, 0.0, atol=1e-6, btol=1e-6, pair=True)
+    res = lt.lsqr(A, b, 0.0, atol=1e-6, btol=1e-6, pair=True,
+                  loop="bounded", loop_segment=16)
+    assert int(res.istop) == int(ref.istop)
+    assert int(res.itn) == int(ref.itn)
+    np.testing.assert_array_equal(np.asarray(res.x), np.asarray(ref.x))
+
+
+def test_pair_requires_capable_operator(rng):
+    from lsqr_tpu.ops.coo import coo_operator
+
+    rows = np.array([0, 1, 2]); cols = np.array([0, 1, 2])
+    vals = np.array([1.0, 2.0, 3.0], np.float32)
+    A = coo_operator(3, 3, vals, rows, cols)
+    with pytest.raises(ValueError, match="fused_pair"):
+        lt.lsqr(A, np.ones(3, np.float32), pair=True)
+
+
+def test_pair_trace_matches(rng):
+    """The recorded iteration trace must agree between paths (same
+    recurrence, different product fusion)."""
+    m = n = 1200
+    offsets = (-1, 0, 1)
+    data = rng.standard_normal((3, m)).astype(np.float32)
+    data[1] += 5.0
+    A = dia_operator(m, n, offsets, data, use_pallas=False)
+    b = rng.standard_normal(m).astype(np.float32)
+    ref = lt.lsqr(A, b, 0.0, atol=1e-5, btol=1e-5, record_trace=True)
+    res = lt.lsqr(A, b, 0.0, atol=1e-5, btol=1e-5, record_trace=True,
+                  pair=True)
+    k = int(ref.itn)
+    assert int(res.itn) == k
+    np.testing.assert_allclose(
+        np.asarray(res.trace[: k + 1]), np.asarray(ref.trace[: k + 1]),
+        rtol=2e-3, atol=1e-5,
+    )
