@@ -75,6 +75,8 @@ class _Carry(NamedTuple):
     gamma: jax.Array    # ||A'r - damp² x||²
     anorm: jax.Array
     rnorm: jax.Array    # sqrt(||r||² + damp² ||x||²), computed directly
+    ar: jax.Array       # A'r, maintained by recurrence (pair mode only;
+    #                     a (1,) placeholder otherwise)
 
 
 def _build(
@@ -86,6 +88,7 @@ def _build(
     *,
     itnlim: int,
     safe_norms: bool,
+    pair: bool = False,
 ):
     """(carry0, cond_fun, body_fun, finalize) — the same pieces as
     solver._build so the while and bounded loop forms share one iteration
@@ -123,6 +126,9 @@ def _build(
         gamma=gamma0,
         anorm=zero,
         rnorm=bnorm,
+        # pair mode maintains A'r by the exact recurrence A'r_{k+1} =
+        # A'r_k - alpha_k (A'q_k); seeded with s_0 = A'b (x_0 = 0)
+        ar=s0 if pair else jnp.zeros((1,), dtype),
     )
 
     def cond_fun(c: _Carry):
@@ -131,7 +137,12 @@ def _build(
     def body_fun(c: _Carry) -> _Carry:
         itn = c.itn + 1
 
-        q = A.matvec(c.p)
+        if pair:
+            # q = A p and t = A'q in ONE stripe pass (ops/pallas_spmv.
+            # dia_pair with c2 = 0); t feeds the A'r recurrence below.
+            q, t_adj = A.fused_pair(y=c.r, win=c.p, c1=one, c2=zero)
+        else:
+            q = A.matvec(c.p)
         qn = norm_m(q)
         pn = norm_n(c.p)
         delta = qn * qn + damp * damp * pn * pn
@@ -144,7 +155,12 @@ def _build(
         safe_pn = jnp.where(pn > zero, pn, one)
         anorm = jnp.maximum(c.anorm, jnp.where(pn > zero, qn / safe_pn, zero))
 
-        s = A.rmatvec(r) - damp * damp * x
+        if pair:
+            ar = c.ar - alpha * t_adj
+            s = ar - damp * damp * x
+        else:
+            ar = c.ar
+            s = A.rmatvec(r) - damp * damp * x
         gnorm = norm_n(s)
         gamma = gnorm * gnorm
         safe_gamma = jnp.where(c.gamma > zero, c.gamma, one)
@@ -177,7 +193,7 @@ def _build(
 
         return _Carry(
             itn=itn, istop=istop, x=x, r=r, p=p, gamma=gamma,
-            anorm=anorm, rnorm=rnorm,
+            anorm=anorm, rnorm=rnorm, ar=ar,
         )
 
     def finalize(final: _Carry) -> CGLSResult:
@@ -202,10 +218,10 @@ def _cgls_impl(A, b, damp, atol, btol, **static_opts) -> CGLSResult:
     return finalize(final)
 
 
-_cgls_jit = jax.jit(_cgls_impl, static_argnames=("itnlim", "safe_norms"))
+_cgls_jit = jax.jit(_cgls_impl, static_argnames=("itnlim", "safe_norms", "pair"))
 
 
-@partial(jax.jit, static_argnames=("seg_len", "itnlim", "safe_norms"))
+@partial(jax.jit, static_argnames=("seg_len", "itnlim", "safe_norms", "pair"))
 def _segment_fori(A, b, damp, atol, btol, carry, *, seg_len, **static_opts):
     from .solver import _masked_body
 
@@ -216,7 +232,7 @@ def _segment_fori(A, b, damp, atol, btol, carry, *, seg_len, **static_opts):
     )
 
 
-@partial(jax.jit, static_argnames=("itnlim", "safe_norms"))
+@partial(jax.jit, static_argnames=("itnlim", "safe_norms", "pair"))
 def _finalize_only(A, b, damp, atol, btol, carry, **static_opts):
     _, _, _, finalize = _build(A, b, damp, atol, btol, **static_opts)
     return finalize(carry)
@@ -253,6 +269,7 @@ def cgls(
     loop_segment: int = 64,
     m: Optional[int] = None,
     n: Optional[int] = None,
+    pair: Optional[bool] = None,
     _jit: bool = True,
 ) -> CGLSResult:
     """Solve ``min ||A x - b||`` (optionally damped: ``min ||A x - b||² +
@@ -290,7 +307,7 @@ def cgls(
         res = cgls(
             A, r0, damp, atol=atol, btol=btol, itnlim=itnlim,
             safe_norms=safe_norms, loop=loop, loop_segment=loop_segment,
-            _jit=_jit,
+            pair=pair, _jit=_jit,
         )
         xw = x0 + res.x
         return res._replace(x=xw, xnorm=nrm2(xw, safe=safe_norms))
@@ -298,7 +315,17 @@ def cgls(
     if itnlim is None:
         gn = int(getattr(A, "global_n", A.n))
         itnlim = 4 * gn
-    kwargs = dict(itnlim=int(itnlim), safe_norms=safe_norms)
+    # pair is OPT-IN for CGLS (unlike lsqr/lsmr/craig auto): the A'r
+    # recurrence it introduces adds one more level of f32 drift on top of
+    # CGLS's already-weaker stability; users trading a little accuracy for
+    # halved stripe traffic enable it explicitly.
+    if pair is None:
+        pair = False
+    if pair and not hasattr(A, "fused_pair"):
+        raise ValueError(
+            f"{type(A).__name__} does not implement fused_pair; set pair=False"
+        )
+    kwargs = dict(itnlim=int(itnlim), safe_norms=safe_norms, pair=pair)
     args = (
         A,
         b,

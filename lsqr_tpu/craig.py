@@ -79,6 +79,7 @@ def _build(
     *,
     itnlim: int,
     safe_norms: bool,
+    pair: bool = False,
 ):
     """(carry0, cond_fun, body_fun, finalize) — the same pieces as
     solver._build so the while and bounded loop forms share one iteration
@@ -147,7 +148,11 @@ def _build(
         xnorm2 = c.xnorm2 + y * y
 
         # bidiagonalization step: beta_{k+1} u_{k+1} = A v_k - alpha_k u_k
-        u = A.matvec(c.v) - c.alpha * c.u
+        if pair:
+            # both products in ONE stripe pass (ops/pallas_spmv.dia_pair)
+            u, z_adj = A.fused_pair(y=c.u, win=c.v, c1=one, c2=c.alpha)
+        else:
+            u = A.matvec(c.v) - c.alpha * c.u
         beta = norm_m(u)
         beta_pos = beta > zero
         safe_beta = jnp.where(beta_pos, beta, one)
@@ -156,7 +161,10 @@ def _build(
         rnorm = beta * jnp.abs(y)
 
         # alpha_{k+1} v_{k+1} = A'u_{k+1} - beta_{k+1} v_k
-        v_cand = A.rmatvec(u) - beta * c.v
+        if pair:
+            v_cand = jnp.where(beta_pos, z_adj / safe_beta, z_adj) - beta * c.v
+        else:
+            v_cand = A.rmatvec(u) - beta * c.v
         alpha_cand = norm_n(v_cand)
         alpha_pos = alpha_cand > zero
         safe_alpha = jnp.where(alpha_pos, alpha_cand, one)
@@ -212,10 +220,10 @@ def _craig_impl(A, b, atol, btol, **static_opts) -> CRAIGResult:
     return finalize(final)
 
 
-_craig_jit = jax.jit(_craig_impl, static_argnames=("itnlim", "safe_norms"))
+_craig_jit = jax.jit(_craig_impl, static_argnames=("itnlim", "safe_norms", "pair"))
 
 
-@partial(jax.jit, static_argnames=("seg_len", "itnlim", "safe_norms"))
+@partial(jax.jit, static_argnames=("seg_len", "itnlim", "safe_norms", "pair"))
 def _segment_fori(A, b, atol, btol, carry, *, seg_len, **static_opts):
     from .solver import _masked_body
 
@@ -226,7 +234,7 @@ def _segment_fori(A, b, atol, btol, carry, *, seg_len, **static_opts):
     )
 
 
-@partial(jax.jit, static_argnames=("itnlim", "safe_norms"))
+@partial(jax.jit, static_argnames=("itnlim", "safe_norms", "pair"))
 def _finalize_only(A, b, atol, btol, carry, **static_opts):
     _, _, _, finalize = _build(A, b, atol, btol, **static_opts)
     return finalize(carry)
@@ -263,6 +271,7 @@ def craig(
     m: Optional[int] = None,
     n: Optional[int] = None,
     megakernel: Optional[bool] = None,
+    pair: Optional[bool] = None,
     _jit: bool = True,
 ) -> CRAIGResult:
     """Minimum-norm solution of a CONSISTENT system ``A x = b`` by Craig's
@@ -315,7 +324,7 @@ def craig(
         res = craig(
             A, r0, atol=atol, btol=btol, itnlim=itnlim,
             safe_norms=safe_norms, loop=loop, loop_segment=loop_segment,
-            _jit=_jit,
+            pair=pair, _jit=_jit,
         )
         xw = x0 + res.x
         return res._replace(x=xw, xnorm=nrm2(xw, safe=safe_norms))
@@ -324,7 +333,13 @@ def craig(
         gm = int(getattr(A, "global_m", A.m))
         gn = int(getattr(A, "global_n", A.n))
         itnlim = min(gm, gn)
-    kwargs = dict(itnlim=int(itnlim), safe_norms=safe_norms)
+    if pair is None:
+        pair = bool(getattr(A, "prefers_pair", False))
+    if pair and not hasattr(A, "fused_pair"):
+        raise ValueError(
+            f"{type(A).__name__} does not implement fused_pair; set pair=False"
+        )
+    kwargs = dict(itnlim=int(itnlim), safe_norms=safe_norms, pair=pair)
     args = (
         A,
         b,

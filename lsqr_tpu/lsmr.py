@@ -140,6 +140,7 @@ def _build(
     itnlim: int,
     record_trace: bool,
     safe_norms: bool,
+    pair: bool = False,
 ):
     """Construct (carry0, cond_fun, body_fun, finalize) — the same shape of
     pieces as solver._build, so the while and bounded loop forms share one
@@ -229,12 +230,21 @@ def _build(
         itn = c.itn + 1
 
         # --- bidiagonalization step (identical to LSQR's) ---------------
-        u = A.matvec(c.v) - c.alpha * c.u
+        if pair:
+            # ONE stripe pass for both products (ops/pallas_spmv.dia_pair):
+            # u_raw = A v - alpha u and the raw adjoint z = A'u_raw; the
+            # 1/beta normalization commutes with A'.
+            u, z_adj = A.fused_pair(y=c.u, win=c.v, c1=one, c2=c.alpha)
+        else:
+            u = A.matvec(c.v) - c.alpha * c.u
         beta = norm_m(u)
         beta_pos = beta > zero
         safe_beta = jnp.where(beta_pos, beta, one)
         u = jnp.where(beta_pos, u / safe_beta, u)
-        v_cand = A.rmatvec(u) - beta * c.v
+        if pair:
+            v_cand = jnp.where(beta_pos, z_adj / safe_beta, z_adj) - beta * c.v
+        else:
+            v_cand = A.rmatvec(u) - beta * c.v
         alpha_cand = norm_n(v_cand)
         alpha_pos = alpha_cand > zero
         safe_alpha = jnp.where(alpha_pos, alpha_cand, one)
@@ -362,13 +372,13 @@ def _lsmr_impl(A, b, damp, atol, btol, conlim, **static_opts) -> LSMRResult:
 
 
 _lsmr_jit = jax.jit(
-    _lsmr_impl, static_argnames=("itnlim", "record_trace", "safe_norms")
+    _lsmr_impl, static_argnames=("itnlim", "record_trace", "safe_norms", "pair")
 )
 
 
 @partial(
     jax.jit,
-    static_argnames=("seg_len", "itnlim", "record_trace", "safe_norms"),
+    static_argnames=("seg_len", "itnlim", "record_trace", "safe_norms", "pair"),
 )
 def _segment_fori(A, b, damp, atol, btol, conlim, carry, *, seg_len, **static_opts):
     from .solver import _masked_body
@@ -382,7 +392,7 @@ def _segment_fori(A, b, damp, atol, btol, conlim, carry, *, seg_len, **static_op
     )
 
 
-@partial(jax.jit, static_argnames=("itnlim", "record_trace", "safe_norms"))
+@partial(jax.jit, static_argnames=("itnlim", "record_trace", "safe_norms", "pair"))
 def _finalize_only(A, b, damp, atol, btol, conlim, carry, **static_opts):
     _, _, _, finalize = _build(A, b, damp, atol, btol, conlim, **static_opts)
     return finalize(carry)
@@ -424,6 +434,7 @@ def lsmr(
     m: Optional[int] = None,
     n: Optional[int] = None,
     megakernel: Optional[bool] = None,
+    pair: Optional[bool] = None,
     _jit: bool = True,
 ) -> LSMRResult:
     """Solve ``A x = b``, ``min ||A x - b||`` or its damped form with LSMR.
@@ -488,7 +499,7 @@ def lsmr(
         res = lsmr(
             A, r0, damp, atol=atol, btol=btol, conlim=conlim, itnlim=itnlim,
             record_trace=record_trace, safe_norms=safe_norms, loop=loop,
-            loop_segment=loop_segment, _jit=_jit,
+            loop_segment=loop_segment, pair=pair, _jit=_jit,
         )
         xw = x0 + res.x
         return res._replace(x=xw, normx=nrm2(xw, safe=safe_norms))
@@ -497,8 +508,15 @@ def lsmr(
         gm = int(getattr(A, "global_m", A.m))
         gn = int(getattr(A, "global_n", A.n))
         itnlim = min(gm, gn)
+    if pair is None:
+        pair = bool(getattr(A, "prefers_pair", False))
+    if pair and not hasattr(A, "fused_pair"):
+        raise ValueError(
+            f"{type(A).__name__} does not implement fused_pair; set pair=False"
+        )
     kwargs = dict(
-        itnlim=int(itnlim), record_trace=record_trace, safe_norms=safe_norms
+        itnlim=int(itnlim), record_trace=record_trace, safe_norms=safe_norms,
+        pair=pair,
     )
     args = (
         A,
