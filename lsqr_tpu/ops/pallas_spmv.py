@@ -33,6 +33,7 @@ __all__ = [
     "dia_matvec_axpy",
     "dia_fused_halfstep",
     "dia_pair",
+    "dia_pair_shared",
     "dia_product_shared",
     "dia_product_shared_axpy",
     "dia_shared_geometry",
@@ -1480,6 +1481,156 @@ def _dia_shared_axpy_kernel(
             seg_v.astype(jnp.float32) * c1
         )
     out_ref[:] = acc.astype(out_ref.dtype)
+
+
+def _dia_pair_shared_kernel(
+    offsets, H, tm, win, W, Lp,
+    c_ref, dp_hbm, vec_hbm, y_ref, out_ref, z_ref,
+    dw0, dw1, vw0, vw1, sem,
+):
+    """Shared-stripe product PAIR: one row-tile pass computing
+        u_new = A(vec*c1) - c2*y   and the tile's additive contribution to
+        z = A'u_new  (emitted as a (W,) partial block; see dia_pair).
+    The adjoint contributions use the SAME row-aligned stripe values the
+    forward just consumed (data[d, r] serves A[r, r+k] both ways), so the
+    window DMA scheme of _dia_shared_axpy_kernel carries over unchanged.
+    Shared stripes are zero-PADDED in HBM (not pallas-padded), so ragged
+    tiles need no masking: out-of-range rows contribute exact zeros."""
+    t = pl.program_id(0)
+    nt = pl.num_programs(0)
+    nd = len(offsets)
+    dbufs = (dw0, dw1)
+    vbufs = (vw0, vw1)
+
+    def dmas(slot, tile):
+        cps = [
+            pltpu.make_async_copy(
+                dp_hbm.at[pl.ds(d * Lp + tile * tm, win)],
+                dbufs[slot].at[pl.ds(d * win, win)],
+                sem.at[slot, d],
+            )
+            for d in range(nd)
+        ]
+        cps.append(
+            pltpu.make_async_copy(
+                vec_hbm.at[pl.ds(tile * tm, win)], vbufs[slot],
+                sem.at[slot, nd],
+            )
+        )
+        return cps
+
+    @pl.when(t == 0)
+    def _():
+        for c in dmas(0, 0):
+            c.start()
+
+    even = t % 2 == 0
+
+    @pl.when((t + 1 < nt) & even)
+    def _():
+        for c in dmas(1, t + 1):
+            c.start()
+
+    @pl.when((t + 1 < nt) & jnp.logical_not(even))
+    def _():
+        for c in dmas(0, t + 1):
+            c.start()
+
+    @pl.when(even)
+    def _():
+        for c in dmas(0, t):
+            c.wait()
+
+    @pl.when(jnp.logical_not(even))
+    def _():
+        for c in dmas(1, t):
+            c.wait()
+
+    dw = jnp.where(even, dw0[:], dw1[:])
+    vw = jnp.where(even, vw0[:], vw1[:])
+    c1 = c_ref[0, 0]
+    c2 = c_ref[0, 1]
+    stripes = []
+    acc = (-c2) * y_ref[:].astype(jnp.float32)
+    for d, k in enumerate(offsets):
+        sd = H + d * win
+        seg_d = jax.lax.slice(dw, (sd,), (sd + tm,)).astype(jnp.float32)
+        seg_v = jax.lax.slice(vw, (H + k,), (H + k + tm,))
+        acc = acc + seg_d * (seg_v.astype(jnp.float32) * c1)
+        stripes.append(seg_d)
+    out_ref[:] = acc.astype(out_ref.dtype)
+
+    zacc = jnp.zeros((W,), jnp.float32)
+    for d, k in enumerate(offsets):
+        contrib = stripes[d] * acc
+        zacc = zacc + jax.lax.pad(
+            contrib, jnp.float32(0.0), [(H + k, W - tm - H - k, 0)]
+        )
+    z_ref[:] = zacc.astype(z_ref.dtype)
+
+
+@functools.partial(
+    jax.jit, static_argnames=("offsets", "m", "n", "interpret", "tm")
+)
+def dia_pair_shared(
+    dp, vec, y, c1, c2, *, offsets, m, n, interpret=False, tm=None
+):
+    """Shared-stripe fused pair: one pass over the shared padded stripes
+    computing u_new = A(vec*c1) - c2*y AND z = A' u_new, with dp the FLAT
+    (nd*Lp,) shared stripe array of :func:`dia_shared_geometry`. Returns
+    (u_new (m,), z (n,)). Combines the shared layout's halved operator
+    HBM with the pair's halved per-iteration stripe traffic."""
+    ks = tuple(offsets)
+    nd = len(ks)
+    if tm is None:
+        tm = _shared_tm(m)
+        if dp.dtype == jnp.bfloat16:
+            tm = min(tm, 32768)
+    H, Lp = dia_shared_geometry(ks, m, n, _shared_tm(m), _shared_tm(n))
+    assert dp.shape == (nd * Lp,), (dp.shape, nd, Lp)
+    nt = -(-m // tm)
+    win = -(-(2 * H + tm) // 1024) * 1024
+    W = -(-(2 * H + tm) // 1024) * 1024
+    assert (nt - 1) * tm + win <= Lp, (tm, win, Lp)
+
+    vecp = jnp.zeros((Lp,), vec.dtype).at[H : H + n].set(vec)
+    ypad = jnp.zeros((nt * tm,), y.dtype).at[:m].set(y)
+    cs = jnp.stack([jnp.asarray(c1, jnp.float32),
+                    jnp.asarray(c2, jnp.float32)]).reshape(1, 2)
+    out_dtype = jnp.float32 if dp.dtype == jnp.bfloat16 else dp.dtype
+    kernel = functools.partial(
+        _dia_pair_shared_kernel, ks, H, tm, win, W, Lp
+    )
+    out, zflat = pl.pallas_call(
+        kernel,
+        grid=(nt,),
+        in_specs=[
+            pl.BlockSpec((1, 2), lambda t: (0, 0), memory_space=pltpu.SMEM),
+            pl.BlockSpec(memory_space=pl.ANY),
+            pl.BlockSpec(memory_space=pl.ANY),
+            pl.BlockSpec((tm,), lambda t: (t,), memory_space=pltpu.VMEM),
+        ],
+        out_specs=(
+            pl.BlockSpec((tm,), lambda t: (t,), memory_space=pltpu.VMEM),
+            pl.BlockSpec((W,), lambda t: (t,), memory_space=pltpu.VMEM),
+        ),
+        out_shape=(
+            jax.ShapeDtypeStruct((nt * tm,), out_dtype),
+            jax.ShapeDtypeStruct((nt * W,), jnp.float32),
+        ),
+        scratch_shapes=[
+            pltpu.VMEM((nd * win,), dp.dtype),
+            pltpu.VMEM((nd * win,), dp.dtype),
+            pltpu.VMEM((win,), vec.dtype),
+            pltpu.VMEM((win,), vec.dtype),
+            pltpu.SemaphoreType.DMA((2, nd + 1)),
+        ],
+        interpret=interpret,
+    )(cs, dp, vecp, ypad)
+    out = jax.lax.optimization_barrier(out)
+    zflat = jax.lax.optimization_barrier(zflat)
+    z = _overlap_add(zflat.reshape(nt, W), nt, tm, W, H, n, out_dtype)
+    return out[:m], z
 
 
 @functools.partial(

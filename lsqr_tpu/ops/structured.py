@@ -397,6 +397,25 @@ class DIASharedOperator(LinearOperator):
         ssq = jnp.sum(jnp.square(out.astype(jnp.float32)))
         return out, ssq
 
+    @property
+    def prefers_pair(self) -> bool:
+        # same profitability condition as the packed operator; the shared
+        # layout's zero-padded stripes make the pair kernel mask-free
+        return self._pallas_selected(max(self.m, self.n))
+
+    def fused_pair(self, *, y, win, c1, c2):
+        """Both bidiagonalization products in ONE pass over the SHARED
+        stripes (ops/pallas_spmv.dia_pair_shared):
+            u_new = A (win*c1) - c2*y,     z = A' u_new
+        with y (m,), win (n,). Combines the layout's halved operator HBM
+        with the pair's halved per-iteration stripe traffic."""
+        from .pallas_spmv import dia_pair_shared
+
+        return dia_pair_shared(
+            self.dp, win, y, c1, c2, offsets=self.offsets, m=self.m,
+            n=self.n, interpret=jax.default_backend() != "tpu",
+        )
+
     def _product_xla(self, vec, adjoint: bool):
         ks = self.offsets
         H = self.H

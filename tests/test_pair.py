@@ -143,6 +143,58 @@ def test_pair_requires_capable_operator(rng):
         lt.lsqr(A, np.ones(3, np.float32), pair=True)
 
 
+@pytest.mark.parametrize(
+    "m,n,offsets",
+    [
+        (4096, 4096, (-2, -1, 0, 1, 2)),
+        (5000, 5000, (-3, 0, 5)),        # ragged last tile
+        (3000, 2000, (-5, -1, 0, 2)),    # over-determined
+        (2000, 3000, (0, 1, 7)),         # under-determined
+    ],
+)
+def test_dia_pair_shared_kernel(rng, m, n, offsets):
+    from lsqr_tpu.ops.pallas_spmv import dia_pair_shared
+    from lsqr_tpu.ops.structured import dia_shared_operator
+
+    data = rng.standard_normal((len(offsets), m)).astype(np.float32)
+    i = np.arange(m)
+    A = np.zeros((m, n), np.float32)
+    for d, k in enumerate(offsets):
+        j = i + k
+        valid = (j >= 0) & (j < n)
+        data[d] *= valid
+        A[i[valid], j[valid]] = data[d][valid]
+    op = dia_shared_operator(m, n, offsets, data)
+    v = rng.standard_normal(n).astype(np.float32)
+    y = rng.standard_normal(m).astype(np.float32)
+    c1, c2 = 0.8, 1.1
+    u_ref = A @ (v * np.float32(c1)) - np.float32(c2) * y
+    z_ref = A.T @ u_ref
+    u, z = dia_pair_shared(
+        op.dp, jnp.asarray(v), jnp.asarray(y), c1, c2,
+        offsets=offsets, m=m, n=n, interpret=True,
+    )
+    assert np.abs(np.asarray(u) - u_ref).max() / (np.abs(u_ref).max()) < 5e-6
+    assert np.abs(np.asarray(z) - z_ref).max() / (np.abs(z_ref).max()) < 5e-6
+
+
+def test_pair_shared_solver(rng):
+    from lsqr_tpu.ops.structured import dia_shared_operator
+
+    m = n = 3000
+    offsets = (-2, -1, 0, 1, 3)
+    data = rng.standard_normal((5, m)).astype(np.float32)
+    data[2] += 6.0
+    op = dia_shared_operator(m, n, offsets, data)
+    b = rng.standard_normal(m).astype(np.float32)
+    ref = lt.lsqr(op, b, 0.01, atol=1e-6, btol=1e-6)
+    res = lt.lsqr(op, b, 0.01, atol=1e-6, btol=1e-6, pair=True)
+    assert int(res.istop) == int(ref.istop)
+    assert abs(int(res.itn) - int(ref.itn)) <= 2
+    scale = float(jnp.max(jnp.abs(ref.x))) + 1e-30
+    assert float(jnp.max(jnp.abs(res.x - ref.x))) / scale < 1e-4
+
+
 def test_pair_trace_matches(rng):
     """The recorded iteration trace must agree between paths (same
     recurrence, different product fusion)."""
