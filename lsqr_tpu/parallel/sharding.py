@@ -330,12 +330,15 @@ class _LocalDIAShard(LinearOperator):
     the global stripes; x stays replicated, so the local matvec only shifts
     its slice window by the global row offset — no halo exchange is needed
     for the banded structure (the 'halo' is just the replicated x). The
-    transpose product uses the local slice of the global transpose stripes
-    masked to this shard's rows, followed by the usual psum.
+    transpose product streams the SAME row-aligned stripes (static
+    per-diagonal shifted adds into a local band window + one dynamic
+    placement at the shard's global offset) — no transpose copy exists at
+    all, so per-device operator memory is ndiag*m_local instead of the
+    round-1 ndiag*(m_local + n) and the adjoint reads ndiag*m_local words
+    per iteration instead of ndiag*n.
     """
 
     data: jax.Array     # (ndiag, m_local) local row slice of stripes
-    tdata: jax.Array    # (ndiag, n) transpose stripes masked to local rows
     row0: jax.Array     # global row offset of this shard (scalar int32)
     m: int = dataclasses.field(metadata=dict(static=True))        # local rows
     n: int = dataclasses.field(metadata=dict(static=True))
@@ -371,19 +374,40 @@ class _LocalDIAShard(LinearOperator):
             y = y + self.data[j] * seg
         return y
 
-    def rmatvec(self, y: jax.Array) -> jax.Array:
-        # local contribution to A'y: tdata is already masked to this shard's
-        # rows; shift the local y into global row positions and stream.
+    def _adjoint_local(self, y: jax.Array) -> jax.Array:
+        """This shard's additive contribution to A'y (length n, un-summed):
+        z[row0 + i + k] += data[d, i] * y[i] — static per-diagonal pad-adds
+        into a (lo + m_local + hi) band window, then ONE dynamic placement
+        at the shard's global offset. Stripe rows beyond global_m are
+        zero-padded at prep time, so no masking is needed."""
         m, n = self.m, self.n
         ks = self.offsets or (0,)
-        lo = max(0, max(ks))
-        hi = max(0, n - min(ks) - self.global_m_pad)
-        ypad = jnp.zeros((lo + self.global_m_pad + hi,), self.dtype)
-        ypad = jax.lax.dynamic_update_slice(ypad, y.astype(self.dtype), (lo + self.row0,))
-        out = jnp.zeros((n,), self.dtype)
+        lo = max(0, -min(ks))
+        hi = max(0, max(ks))
+        yd = y.astype(self.dtype)
+        zloc = jnp.zeros((lo + m + hi,), self.dtype)
         for j, k in enumerate(self.offsets):
-            out = out + self.tdata[j] * jax.lax.dynamic_slice(ypad, (lo - k,), (n,))
-        return jax.lax.psum(out, self.axis)
+            zloc = zloc + jax.lax.pad(
+                self.data[j] * yd, jnp.zeros((), self.dtype),
+                [(lo + k, hi - k, 0)],
+            )
+        # buffer index = global column + lo; zloc[0] is column row0 - lo
+        L = max(lo + self.global_m_pad + hi, lo + n)
+        zbuf = jax.lax.dynamic_update_slice(
+            jnp.zeros((L,), self.dtype), zloc, (self.row0,)
+        )
+        return jax.lax.slice(zbuf, (lo,), (lo + n,))
+
+    def rmatvec(self, y: jax.Array) -> jax.Array:
+        return jax.lax.psum(self._adjoint_local(y), self.axis)
+
+    def fused_pair(self, *, y, win, c1, c2):
+        """Both bidiagonalization products in one local pass + one psum:
+            u_new = A_local (win*c1) - c2*y_local,   z = psum(A_local' u_new)
+        (the sharded analogue of ops/pallas_spmv.dia_pair: the adjoint
+        reuses the row-aligned stripes just streamed by the forward)."""
+        u = self.matvec(win * c1) - c2 * y
+        return u, jax.lax.psum(self._adjoint_local(u), self.axis)
 
 
 def lsqr_sharded_dia(
@@ -412,9 +436,9 @@ def lsqr_sharded_dia(
 
     mesh = mesh if mesh is not None else make_mesh(axis_name=axis_name)
     m, n = A.m, A.n
-    # stacked per-device stripe slices + row-masked transpose stripes
-    # (shared with the sibling DIA solvers)
-    data_s, tdata_s, row0s, b_pad, rpd, m_pad, dtype = _prep_dia_shards(
+    # stacked per-device stripe slices (shared with the sibling DIA
+    # solvers); the adjoint streams the same stripes — no transpose copy
+    data_s, row0s, b_pad, rpd, m_pad, dtype = _prep_dia_shards(
         A, b, mesh, axis_name, dtype=opts.dtype
     )
 
@@ -428,21 +452,24 @@ def lsqr_sharded_dia(
         debug_log=opts.debug_log,
         scalar_dtype=(str(jnp.dtype(opts.scalar_dtype))
                       if opts.scalar_dtype is not None else None),
+        # pair mode: both products from one local stripe stream + one psum
+        # (the sharded analogue of dia_pair); opt-in via LSQROptions.pair
+        fused=bool(opts.pair),
+        pair=bool(opts.pair),
     )
     offsets = A.offsets
 
     @partial(
         jax.shard_map,
         mesh=mesh,
-        in_specs=(P(axis_name), P(axis_name), P(axis_name), P(axis_name),
+        in_specs=(P(axis_name), P(axis_name), P(axis_name),
                   P(), P(), P(), P()),
         out_specs=P(),
         check_vma=False,
     )
-    def run(data_l, tdata_l, row0_l, b_local, damp_, atol_, btol_, conlim_):
+    def run(data_l, row0_l, b_local, damp_, atol_, btol_, conlim_):
         op = _LocalDIAShard(
             data=data_l[0].astype(dtype),
-            tdata=tdata_l[0].astype(dtype),
             row0=row0_l[0],
             m=rpd,
             n=n,
@@ -457,7 +484,6 @@ def lsqr_sharded_dia(
 
     return jax.jit(run)(
         data_s,
-        tdata_s,
         row0s,
         b_pad,
         jnp.asarray(damp, dtype),
@@ -468,7 +494,7 @@ def lsqr_sharded_dia(
 
 
 def _prep_dia_shards(A, b, mesh, axis_name, dtype=None):
-    """Per-device stripe slices + masked transpose stripes + padded b for
+    """Per-device stripe slices + padded b for
     a row-partitioned DIA operator (the plumbing of lsqr_sharded_dia,
     shared with the sibling solvers)."""
     from ..ops.structured import DIAOperator
@@ -482,22 +508,13 @@ def _prep_dia_shards(A, b, mesh, axis_name, dtype=None):
     nd = len(A.offsets)
     dpad = jnp.zeros((nd, m_pad), A.data.dtype).at[:, :m].set(A.data)
     data_s = dpad.reshape(nd, ndev, rpd).swapaxes(0, 1)
-    col = jnp.arange(n)
-    tdata_s = []
-    for d in range(ndev):
-        rows_of = [col - k for k in A.offsets]
-        mask = jnp.stack(
-            [(r >= d * rpd) & (r < (d + 1) * rpd) for r in rows_of]
-        )
-        tdata_s.append(A.tdata * mask.astype(A.tdata.dtype))
-    tdata_s = jnp.stack(tdata_s)
     row0s = jnp.arange(ndev, dtype=jnp.int32) * rpd
     dtype = dtype or A.data.dtype
     b = jnp.asarray(b, dtype)
     if b.shape != (m,):
         raise ValueError(f"b must have shape ({m},), got {b.shape}")
     b_pad = jnp.zeros((m_pad,), dtype).at[:m].set(b)
-    return data_s, tdata_s, row0s, b_pad, rpd, m_pad, dtype
+    return data_s, row0s, b_pad, rpd, m_pad, dtype
 
 
 def _dia_sibling_sharded(impl, n_scalars):
@@ -506,7 +523,7 @@ def _dia_sibling_sharded(impl, n_scalars):
     def solve(A, b, *scalars, mesh=None, axis_name="rows",
               itnlim=None, safe_norms=True, default_itnlim=None, **impl_kw):
         mesh = mesh if mesh is not None else make_mesh(axis_name=axis_name)
-        data_s, tdata_s, row0s, b_pad, rpd, m_pad, dtype = _prep_dia_shards(
+        data_s, row0s, b_pad, rpd, m_pad, dtype = _prep_dia_shards(
             A, b, mesh, axis_name)
         m, n = A.m, A.n
         if itnlim is None:
@@ -517,15 +534,14 @@ def _dia_sibling_sharded(impl, n_scalars):
         @partial(
             jax.shard_map,
             mesh=mesh,
-            in_specs=(P(axis_name), P(axis_name), P(axis_name),
-                      P(axis_name)) + (P(),) * n_scalars,
+            in_specs=(P(axis_name), P(axis_name), P(axis_name))
+                     + (P(),) * n_scalars,
             out_specs=P(),
             check_vma=False,
         )
-        def run(data_l, tdata_l, row0_l, b_local, *sc):
+        def run(data_l, row0_l, b_local, *sc):
             op = _LocalDIAShard(
                 data=data_l[0].astype(dtype),
-                tdata=tdata_l[0].astype(dtype),
                 row0=row0_l[0],
                 m=rpd,
                 n=n,
@@ -537,7 +553,7 @@ def _dia_sibling_sharded(impl, n_scalars):
             return impl(op, b_local.reshape(-1), *sc, **kw)
 
         return jax.jit(run)(*_globalize(
-            mesh, data_s, tdata_s, row0s, b_pad,
+            mesh, data_s, row0s, b_pad,
             *[jnp.asarray(s, dtype) for s in scalars]))
 
     return solve
@@ -545,37 +561,41 @@ def _dia_sibling_sharded(impl, n_scalars):
 
 def lsmr_sharded_dia(A, b, damp=0.0, *, mesh=None, axis_name="rows",
                      atol=1e-6, btol=1e-6, conlim=0.0, itnlim=None,
-                     safe_norms=True):
+                     safe_norms=True, pair=False):
     """Row-partitioned distributed LSMR for a banded (DIA) operator (see
-    :func:`lsqr_sharded_dia` for the partition/collective layout)."""
+    :func:`lsqr_sharded_dia` for the partition/collective layout).
+    ``pair=True`` streams both products from one local stripe pass."""
     from ..lsmr import _lsmr_impl
 
     return _dia_sibling_sharded(_lsmr_impl, 4)(
         A, b, damp, atol, btol, conlim, mesh=mesh, axis_name=axis_name,
         itnlim=itnlim, safe_norms=safe_norms,
-        default_itnlim=lambda m, n: min(m, n), record_trace=False)
+        default_itnlim=lambda m, n: min(m, n), record_trace=False,
+        pair=bool(pair))
 
 
 def craig_sharded_dia(A, b, *, mesh=None, axis_name="rows",
-                      atol=1e-6, btol=1e-6, itnlim=None, safe_norms=True):
+                      atol=1e-6, btol=1e-6, itnlim=None, safe_norms=True,
+                      pair=False):
     """Row-partitioned distributed CRAIG for a banded (DIA) operator."""
     from ..craig import _craig_impl
 
     return _dia_sibling_sharded(_craig_impl, 2)(
         A, b, atol, btol, mesh=mesh, axis_name=axis_name,
         itnlim=itnlim, safe_norms=safe_norms,
-        default_itnlim=lambda m, n: min(m, n))
+        default_itnlim=lambda m, n: min(m, n), pair=bool(pair))
 
 
 def cgls_sharded_dia(A, b, damp=0.0, *, mesh=None, axis_name="rows",
-                     atol=1e-6, btol=1e-6, itnlim=None, safe_norms=True):
+                     atol=1e-6, btol=1e-6, itnlim=None, safe_norms=True,
+                     pair=False):
     """Row-partitioned distributed CGLS for a banded (DIA) operator."""
     from ..cgls import _cgls_impl
 
     return _dia_sibling_sharded(_cgls_impl, 3)(
         A, b, damp, atol, btol, mesh=mesh, axis_name=axis_name,
         itnlim=itnlim, safe_norms=safe_norms,
-        default_itnlim=lambda m, n: 4 * n)
+        default_itnlim=lambda m, n: 4 * n, pair=bool(pair))
 
 
 # ---------------------------------------------------------------------------

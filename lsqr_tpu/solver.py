@@ -286,6 +286,8 @@ def _build(
                     c1=inv_alpha_prev, c2=c.alpha * inv_beta_prev,
                 )
                 ssq_u = jnp.sum(jnp.square(u))
+                if axis_m is not None:  # row-sharded: complete the norm
+                    ssq_u = jax.lax.psum(ssq_u, axis_m)
             else:
                 # u_new = A v_true - alpha * u_true
                 u, ssq_u = A.fused_halfstep(
@@ -303,6 +305,8 @@ def _build(
                 # the norm reduction in one XLA pass)
                 v_cand = z_adj * vc(inv_beta) - vc(beta * inv_alpha_prev) * c.v
                 ssq_v = jnp.sum(jnp.square(v_cand))
+                if axis_n is not None:
+                    ssq_v = jax.lax.psum(ssq_v, axis_n)
             else:
                 # v_new = A' u_true_new - beta * v_true
                 v_cand, ssq_v = A.fused_halfstep(

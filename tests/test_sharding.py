@@ -368,3 +368,63 @@ def test_sibling_sharded_dia_matches_unsharded(rng):
     assert int(res.itn) == int(ref.itn)
     np.testing.assert_allclose(np.asarray(res.x), np.asarray(ref.x),
                                rtol=1e-7, atol=1e-10)
+
+
+def test_sharded_dia_pair_matches(rng):
+    """pair=True runs both products from one local stripe stream + one
+    psum (the sharded dia_pair analogue); matched-itn comparison."""
+    from lsqr_tpu.ops.structured import dia_operator
+    from lsqr_tpu.parallel.sharding import lsqr_sharded_dia
+
+    m, n = 260, 210
+    offsets = (-4, -1, 0, 2, 5)
+    data = rng.standard_normal((len(offsets), m))
+    A = dia_operator(m, n, offsets, data, use_pallas=False)
+    b = rng.standard_normal(m)
+    ref = lt.lsqr(A, b, 0.05, atol=0.0, btol=0.0, conlim=0.0, itnlim=25)
+    res = lsqr_sharded_dia(A, b, 0.05, mesh=make_mesh(8),
+                           atol=0.0, btol=0.0, conlim=0.0, itnlim=25,
+                           pair=True)
+    assert int(res.itn) == int(ref.itn)
+    np.testing.assert_allclose(np.asarray(res.x), np.asarray(ref.x),
+                               rtol=1e-6, atol=1e-9)
+    np.testing.assert_allclose(float(res.rnorm), float(ref.rnorm), rtol=1e-9)
+
+
+def test_sibling_sharded_dia_pair(rng):
+    from lsqr_tpu.ops.structured import dia_operator
+    from lsqr_tpu.parallel.sharding import (
+        cgls_sharded_dia, craig_sharded_dia, lsmr_sharded_dia,
+    )
+    from lsqr_tpu import cgls, craig, lsmr
+
+    m = n = 264
+    offsets = (-2, 0, 3)
+    data = rng.standard_normal((3, m))
+    data[1] += 5.0
+    A = dia_operator(m, n, offsets, data, use_pallas=False)
+    b = rng.standard_normal(m)
+
+    ref = lsmr(A, b, 0.05, atol=1e-9, btol=1e-9)
+    res = lsmr_sharded_dia(A, b, 0.05, mesh=make_mesh(8), atol=1e-9,
+                           btol=1e-9, pair=True)
+    assert int(res.istop) == int(ref.istop)
+    assert abs(int(res.itn) - int(ref.itn)) <= 2
+    np.testing.assert_allclose(np.asarray(res.x), np.asarray(ref.x),
+                               atol=1e-6)
+
+    xt = rng.standard_normal(n)
+    bc = np.asarray(A.matvec(xt))
+    refc = craig(A, bc, atol=1e-9, btol=1e-9)
+    resc = craig_sharded_dia(A, bc, mesh=make_mesh(8), atol=1e-9, btol=1e-9,
+                             pair=True)
+    assert int(resc.istop) == int(refc.istop)
+    np.testing.assert_allclose(np.asarray(resc.x), np.asarray(refc.x),
+                               atol=1e-6)
+
+    refg = cgls(A, b, 0.05, atol=1e-8, btol=1e-8)
+    resg = cgls_sharded_dia(A, b, 0.05, mesh=make_mesh(8), atol=1e-8,
+                            btol=1e-8, pair=True)
+    assert int(resg.istop) == int(refg.istop)
+    np.testing.assert_allclose(np.asarray(resg.x), np.asarray(refg.x),
+                               atol=1e-6)
