@@ -30,6 +30,29 @@ NDIAG = 11
 OFFSETS = tuple(range(-(NDIAG // 2), NDIAG // 2 + 1))
 
 
+def relay_present(wait_s=900.0, poll_s=30.0):
+    """The axon tunnel is an orchestrator-spawned child listening on
+    127.0.0.1:8082-8117; when it is ABSENT every jax call (even
+    jax.devices()) hangs forever — so gate on the PORT, not on jax
+    (measured 2026-08-18: hours-long 'wedge' was simply no listener).
+    Polls up to ``wait_s`` for the tunnel to appear."""
+    import socket
+
+    deadline = time.monotonic() + wait_s
+    while True:
+        for port in (8082, 8092, 8102, 8112):
+            try:
+                with socket.create_connection(("127.0.0.1", port), timeout=2):
+                    return True
+            except OSError:
+                pass
+        if time.monotonic() > deadline:
+            return False
+        print("relay_present: no tunnel listener yet; waiting",
+              file=sys.stderr, flush=True)
+        time.sleep(poll_s)
+
+
 def relay_health(iters=10, wait_healthy_s=300.0, poll_s=60.0):
     """Chained 128MB elementwise bandwidth — the relay/chip occasionally
     enters a degraded state (~70 GB/s vs ~380-400 healthy; BENCHMARKS.md
@@ -100,6 +123,35 @@ def bench_tpu(iters=30):
     return nnz, (time.perf_counter() - t0) / iters
 
 
+def bench_tpu_pair(iters=30):
+    """The fused product-pair kernel (ops/pallas_spmv.dia_pair): the same
+    matvec+rmatvec pair per step, computed in ONE pass over the stripes —
+    stripe HBM traffic is half of the separate-kernels path."""
+    import jax
+    import jax.numpy as jnp
+
+    from lsqr_tpu.ops.pallas_spmv import dia_pair
+
+    nnz = NDIAG * M
+    key = jax.random.PRNGKey(0)
+
+    @jax.jit
+    def run(key):
+        data = jax.random.normal(key, (NDIAG, M), jnp.float32)
+
+        def body(i, v):
+            u, z = dia_pair(data, v, v, 1.0, 0.0, offsets=OFFSETS, m=M, n=M)
+            return z * 1e-9
+
+        v = jax.lax.fori_loop(0, iters, body, jnp.ones((M,), jnp.float32))
+        return jnp.sum(v)
+
+    float(run(key))  # compile + warm
+    t0 = time.perf_counter()
+    float(run(key))
+    return nnz, (time.perf_counter() - t0) / iters
+
+
 def bench_cpu_serial(iters=4):
     """scipy CSR products on the host CPU — the serial compiled-code
     baseline standing in for the Fortran reference's aprod loops."""
@@ -136,12 +188,17 @@ def main():
     signal.signal(signal.SIGALRM, _alarm)
     error = None
     relay_gbs = 0.0
-    gnnz_tpu = 0.0
+    gnnz_sep = 0.0
+    gnnz_pair = 0.0
     try:
+        if not relay_present():
+            raise RuntimeError("axon tunnel absent (no listener on 8082+)")
         signal.alarm(40 * 60)
         relay_gbs = relay_health()
         nnz_t, dt_t = bench_tpu()
-        gnnz_tpu = 2 * nnz_t / dt_t / 1e9
+        gnnz_sep = 2 * nnz_t / dt_t / 1e9
+        nnz_p, dt_p = bench_tpu_pair()
+        gnnz_pair = 2 * nnz_p / dt_p / 1e9
     except _Timeout:
         error = "tpu bench timed out (relay compile path wedged)"
     except Exception as e:  # report, don't hang the driver
@@ -152,12 +209,17 @@ def main():
     nnz_c, dt_c = bench_cpu_serial()
     gnnz_cpu = 2 * nnz_c / dt_c / 1e9
 
+    gnnz_tpu = max(gnnz_sep, gnnz_pair)
     record = {
         "metric": "spmv_pair_throughput_banded_88Mnnz_f32",
         "value": round(gnnz_tpu, 2),
         "unit": "Gnnz/s",
         "vs_baseline": round(gnnz_tpu / gnnz_cpu, 2),
         "relay_health_gbs": round(relay_gbs),
+        # breakdown: the pair per step computed by separate matvec+rmatvec
+        # kernels vs the fused dia_pair single stripe pass
+        "separate_kernels_gnnz": round(gnnz_sep, 2),
+        "pair_kernel_gnnz": round(gnnz_pair, 2),
     }
     if error is not None:
         record["error"] = error
