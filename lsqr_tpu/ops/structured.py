@@ -157,6 +157,13 @@ class DIAOperator(LinearOperator):
         1/beta normalization commutes with A' and is applied by the
         caller). Halves the dominant stripe HBM traffic per iteration
         vs calling the forward and adjoint kernels separately."""
+        if self.data.dtype == jnp.float64:
+            # the Pallas pair kernel computes in f32; routing a forced
+            # pair=True x64 solve through it would silently degrade f64
+            # (the round-1 advisor pattern, ADVICE.md) — compute exactly
+            # with the XLA products instead.
+            u = self.matvec(win * c1) - c2 * y
+            return u, self.rmatvec(u)
         from .pallas_spmv import dia_pair
 
         interpret = jax.default_backend() != "tpu"
@@ -409,6 +416,11 @@ class DIASharedOperator(LinearOperator):
             u_new = A (win*c1) - c2*y,     z = A' u_new
         with y (m,), win (n,). Combines the layout's halved operator HBM
         with the pair's halved per-iteration stripe traffic."""
+        if self.dp.dtype == jnp.float64:
+            # f32 kernel — keep forced-pair x64 solves exact (see
+            # DIAOperator.fused_pair)
+            u = self.matvec(win * c1) - c2 * y
+            return u, self.rmatvec(u)
         from .pallas_spmv import dia_pair_shared
 
         return dia_pair_shared(

@@ -213,3 +213,26 @@ def test_pair_trace_matches(rng):
         np.asarray(res.trace[: k + 1]), np.asarray(ref.trace[: k + 1]),
         rtol=2e-3, atol=1e-5,
     )
+
+
+def test_pair_f64_stays_exact(rng):
+    """Forced pair=True on an f64 operator must NOT route through the f32
+    kernel (the ADVICE.md round-1 silent-degradation pattern): the fused
+    pair falls back to exact XLA products, so an x64 solve with pair=True
+    matches the plain x64 solve to f64 precision."""
+    from lsqr_tpu.ops.structured import dia_operator, dia_shared_operator
+
+    m = n = 1500
+    offsets = (-1, 0, 2)
+    data = rng.standard_normal((3, m))  # float64 under the x64 conftest
+    data[1] += 5.0
+    b = rng.standard_normal(m)
+    for op in (dia_operator(m, n, offsets, data, use_pallas=False),
+               dia_shared_operator(m, n, offsets, data)):
+        assert op.dtype == np.float64
+        ref = lt.lsqr(op, b, 0.01, atol=1e-12, btol=1e-12)
+        res = lt.lsqr(op, b, 0.01, atol=1e-12, btol=1e-12, pair=True)
+        assert int(res.istop) == int(ref.istop)
+        assert abs(int(res.itn) - int(ref.itn)) <= 1
+        err = float(jnp.max(jnp.abs(res.x - ref.x)))
+        assert err < 1e-10, err  # f64-level agreement, not f32
