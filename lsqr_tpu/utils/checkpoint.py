@@ -28,7 +28,14 @@ from ..config import LSQROptions
 from ..ops.linop import as_operator
 from ..solver import LSQRResult, _Carry, _build
 
-__all__ = ["lsqr_checkpointed", "save_state", "load_state"]
+__all__ = [
+    "lsqr_checkpointed",
+    "lsmr_checkpointed",
+    "cgls_checkpointed",
+    "craig_checkpointed",
+    "save_state",
+    "load_state",
+]
 
 
 @partial(
@@ -62,21 +69,25 @@ def _finalize(A, b, damp, atol, btol, conlim, carry, **static_opts):
     return finalize(carry)
 
 
-def save_state(path: str, carry: _Carry) -> None:
-    """Serialize a solver carry to an .npz file."""
+def save_state(path: str, carry) -> None:
+    """Serialize a solver carry (any solver's NamedTuple) to an .npz file."""
     np.savez(path, **{f: np.asarray(getattr(carry, f)) for f in carry._fields})
 
 
-def load_state(path: str, dtype=None) -> _Carry:
-    """Load a solver carry saved by :func:`save_state`."""
+def load_state(path: str, dtype=None, carry_cls=_Carry):
+    """Load a solver carry saved by :func:`save_state`.
+
+    ``carry_cls`` selects the solver (default: LSQR's carry; pass
+    ``lsmr._Carry`` / ``cgls._Carry`` / ``craig._Carry`` for the
+    siblings' checkpoints)."""
     data = np.load(path)
     kw = {}
-    for f in _Carry._fields:
+    for f in carry_cls._fields:
         arr = jnp.asarray(data[f])
         if dtype is not None and jnp.issubdtype(arr.dtype, jnp.floating):
             arr = arr.astype(dtype)
         kw[f] = arr
-    return _Carry(**kw)
+    return carry_cls(**kw)
 
 
 def lsqr_checkpointed(
@@ -158,3 +169,140 @@ def lsqr_checkpointed(
             break
 
     return _finalize(*args, carry, **static_opts)
+
+
+# ---------------------------------------------------------------------------
+# Sibling solvers (LSMR / CGLS / CRAIG) on the same segmented runner: each
+# solver's _build returns the same (carry0, cond, body, finalize) pieces, so
+# one generic loop checkpoints them all.
+# ---------------------------------------------------------------------------
+
+
+@partial(jax.jit, static_argnames=("build", "static_opts"))
+def _segment_generic(build, static_opts, args, carry, stop_at):
+    carry0, cond_fun, body_fun, _ = build(*args, **dict(static_opts))
+    carry = carry if carry is not None else carry0
+
+    def bounded_cond(c):
+        return jnp.logical_and(cond_fun(c), c.itn < stop_at)
+
+    return jax.lax.while_loop(bounded_cond, body_fun, carry)
+
+
+@partial(jax.jit, static_argnames=("build", "static_opts"))
+def _finalize_generic(build, static_opts, args, carry):
+    _, _, _, finalize = build(*args, **dict(static_opts))
+    return finalize(carry)
+
+
+def _run_checkpointed(build, args, static_opts, itnlim, *, segment_iters,
+                      checkpoint_path, resume_from, on_segment, carry_cls,
+                      dtype):
+    opts_key = tuple(sorted(static_opts.items()))
+    carry = (load_state(resume_from, dtype=dtype, carry_cls=carry_cls)
+             if resume_from else None)
+    seg = 0
+    while True:
+        start = int(carry.itn) if carry is not None else 0
+        stop_at = min(start + segment_iters, itnlim)
+        carry = _segment_generic(
+            build, opts_key, args, carry, jnp.asarray(stop_at, jnp.int32)
+        )
+        seg += 1
+        if checkpoint_path:
+            save_state(checkpoint_path, jax.device_get(carry))
+        if on_segment is not None:
+            on_segment(seg, carry)
+        if int(carry.istop) != 0 or int(carry.itn) >= itnlim:
+            break
+        if int(carry.itn) == start:
+            break
+    return _finalize_generic(build, opts_key, args, carry)
+
+
+def _sibling_setup(A, b, m, n, dtype=None):
+    A = as_operator(A, m=m, n=n)
+    b = jnp.asarray(b)
+    if dtype is None:
+        dtype = (b.dtype if jnp.issubdtype(b.dtype, jnp.floating) else None)
+    if dtype is None:
+        from ..config import default_dtype
+
+        dtype = default_dtype()
+    return A, b.astype(dtype), dtype
+
+
+def lsmr_checkpointed(
+    A, b, damp: float = 0.0, *, atol=1e-6, btol=1e-6, conlim=1e8,
+    itnlim=None, segment_iters: int = 100,
+    checkpoint_path: Optional[str] = None, resume_from: Optional[str] = None,
+    on_segment: Optional[Callable] = None, safe_norms: bool = True,
+    m: Optional[int] = None, n: Optional[int] = None,
+):
+    """Segmented/checkpointed LSMR (same runner as
+    :func:`lsqr_checkpointed`; same defaults as :func:`lsqr_tpu.lsmr`)."""
+    import importlib
+
+    lsmr_mod = importlib.import_module("lsqr_tpu.lsmr")
+
+    A, b, dtype = _sibling_setup(A, b, m, n)
+    if itnlim is None:
+        itnlim = min(int(A.m), int(A.n))
+    args = (A, b, jnp.asarray(damp, dtype), jnp.asarray(atol, dtype),
+            jnp.asarray(btol, dtype), jnp.asarray(conlim, dtype))
+    so = dict(itnlim=int(itnlim), record_trace=False, safe_norms=safe_norms)
+    return _run_checkpointed(
+        lsmr_mod._build, args, so, int(itnlim),
+        segment_iters=segment_iters, checkpoint_path=checkpoint_path,
+        resume_from=resume_from, on_segment=on_segment,
+        carry_cls=lsmr_mod._Carry, dtype=dtype,
+    )
+
+
+def cgls_checkpointed(
+    A, b, damp: float = 0.0, *, atol=1e-6, btol=1e-6, itnlim=None,
+    segment_iters: int = 100, checkpoint_path: Optional[str] = None,
+    resume_from: Optional[str] = None, on_segment: Optional[Callable] = None,
+    safe_norms: bool = True, m: Optional[int] = None, n: Optional[int] = None,
+):
+    """Segmented/checkpointed CGLS."""
+    import importlib
+
+    cgls_mod = importlib.import_module("lsqr_tpu.cgls")
+
+    A, b, dtype = _sibling_setup(A, b, m, n)
+    if itnlim is None:
+        itnlim = 4 * int(A.n)
+    args = (A, b, jnp.asarray(damp, dtype), jnp.asarray(atol, dtype),
+            jnp.asarray(btol, dtype))
+    so = dict(itnlim=int(itnlim), safe_norms=safe_norms)
+    return _run_checkpointed(
+        cgls_mod._build, args, so, int(itnlim),
+        segment_iters=segment_iters, checkpoint_path=checkpoint_path,
+        resume_from=resume_from, on_segment=on_segment,
+        carry_cls=cgls_mod._Carry, dtype=dtype,
+    )
+
+
+def craig_checkpointed(
+    A, b, *, atol=1e-6, btol=1e-6, itnlim=None, segment_iters: int = 100,
+    checkpoint_path: Optional[str] = None, resume_from: Optional[str] = None,
+    on_segment: Optional[Callable] = None, safe_norms: bool = True,
+    m: Optional[int] = None, n: Optional[int] = None,
+):
+    """Segmented/checkpointed CRAIG."""
+    import importlib
+
+    craig_mod = importlib.import_module("lsqr_tpu.craig")
+
+    A, b, dtype = _sibling_setup(A, b, m, n)
+    if itnlim is None:
+        itnlim = min(int(A.m), int(A.n))
+    args = (A, b, jnp.asarray(atol, dtype), jnp.asarray(btol, dtype))
+    so = dict(itnlim=int(itnlim), safe_norms=safe_norms)
+    return _run_checkpointed(
+        craig_mod._build, args, so, int(itnlim),
+        segment_iters=segment_iters, checkpoint_path=checkpoint_path,
+        resume_from=resume_from, on_segment=on_segment,
+        carry_cls=craig_mod._Carry, dtype=dtype,
+    )

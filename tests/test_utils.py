@@ -150,3 +150,71 @@ def test_format_summary_all_solvers(rng):
     res = lt.craig(as_operator(jnp.asarray(sq)),
                    jnp.asarray(sq @ rng.standard_normal(n)))
     assert "Exit  CRAIG" in format_summary(res)
+
+
+def test_sibling_checkpointed_bit_identical(rng):
+    """LSMR/CGLS/CRAIG on the generic segmented runner: segment boundaries
+    must not change a single bit vs the one-shot solves."""
+    from lsqr_tpu import cgls, craig, lsmr
+    from lsqr_tpu.ops.structured import dia_operator
+    from lsqr_tpu.utils.checkpoint import (
+        cgls_checkpointed, craig_checkpointed, lsmr_checkpointed,
+    )
+
+    m = n = 600
+    data = rng.standard_normal((3, m))
+    data[1] += 5.0
+    A = dia_operator(m, n, (-1, 0, 2), data, use_pallas=False)
+    b = rng.standard_normal(m)
+
+    ref = lsmr(A, b, 0.01, atol=1e-9, btol=1e-9)
+    res = lsmr_checkpointed(A, b, 0.01, atol=1e-9, btol=1e-9,
+                            segment_iters=7)
+    assert int(res.istop) == int(ref.istop) and int(res.itn) == int(ref.itn)
+    np.testing.assert_array_equal(np.asarray(res.x), np.asarray(ref.x))
+
+    refg = cgls(A, b, 0.05, atol=1e-8, btol=1e-8)
+    resg = cgls_checkpointed(A, b, 0.05, atol=1e-8, btol=1e-8,
+                             segment_iters=6)
+    assert int(resg.itn) == int(refg.itn)
+    np.testing.assert_array_equal(np.asarray(resg.x), np.asarray(refg.x))
+
+    xt = rng.standard_normal(n)
+    bc = np.asarray(A.matvec(xt))
+    refc = craig(A, bc, atol=1e-9, btol=1e-9)
+    resc = craig_checkpointed(A, bc, atol=1e-9, btol=1e-9, segment_iters=4)
+    assert int(resc.itn) == int(refc.itn)
+    np.testing.assert_array_equal(np.asarray(resc.x), np.asarray(refc.x))
+
+
+def test_sibling_checkpoint_preemption_resume(rng, tmp_path):
+    """Mid-solve preemption + resume-from-disk for LSMR: identical to the
+    uninterrupted solve (the lsqr_checkpointed contract, extended)."""
+    from lsqr_tpu import lsmr
+    from lsqr_tpu.ops.structured import dia_operator
+    from lsqr_tpu.utils.checkpoint import lsmr_checkpointed
+
+    m = n = 600
+    data = rng.standard_normal((3, m))
+    data[1] += 5.0
+    A = dia_operator(m, n, (-1, 0, 2), data, use_pallas=False)
+    b = rng.standard_normal(m)
+    ref = lsmr(A, b, 0.02, atol=1e-10, btol=1e-10)
+
+    ckpt = str(tmp_path / "lsmr.npz")
+    seen = []
+
+    def stop_early(seg, carry):
+        seen.append(int(carry.itn))
+        if seg >= 2:
+            raise KeyboardInterrupt
+
+    with pytest.raises(KeyboardInterrupt):
+        lsmr_checkpointed(A, b, 0.02, atol=1e-10, btol=1e-10,
+                          segment_iters=5, checkpoint_path=ckpt,
+                          on_segment=stop_early)
+    assert seen == [5, 10]
+    res = lsmr_checkpointed(A, b, 0.02, atol=1e-10, btol=1e-10,
+                            segment_iters=100, resume_from=ckpt)
+    assert int(res.itn) == int(ref.itn)
+    np.testing.assert_array_equal(np.asarray(res.x), np.asarray(ref.x))
