@@ -29,6 +29,7 @@ from jax.experimental.pallas import tpu as pltpu
 __all__ = [
     "block_ell_matvec",
     "block_ell_matvec_windowed",
+    "block_ell_pair_windowed",
     "dia_matvec",
     "dia_matvec_axpy",
     "dia_fused_halfstep",
@@ -242,6 +243,145 @@ def block_ell_matvec_windowed(blocks, bcols, x, *, interpret=False, tr=None):
         ),
     )(bflat, blocks, x2)
     return out.reshape(mb * bh)
+
+
+def _block_ell_pair_kernel(
+    tr, bcols_ref, blocks_ref, y_ref, sc_ref, x_hbm, out_ref, zp_ref,
+    xs0, xs1, sem
+):
+    """Windowed BlockELL product PAIR: one pass over the block stream
+    computing u_r = sum_j blocks[r,j] @ (xseg[r,j]*c1) - c2*y_r AND the
+    per-block adjoint partials zp[r,j] = blocks[r,j]' @ u_r (the caller
+    segment-sums zp rows by bcols — mb*kb rows of bw, i.e. 1/bh of the
+    block traffic). Blocks are read ONCE for both products."""
+    t = pl.program_id(0)
+    nt = pl.num_programs(0)
+    kb = blocks_ref.shape[1]
+    bh = blocks_ref.shape[2]
+    bw = blocks_ref.shape[3]
+    bufs = (xs0, xs1)
+
+    def start_tile_dmas(slot, tile):
+        for r in range(tr):
+            for j in range(kb):
+                c = bcols_ref[(tile * tr + r) * kb + j]
+                pltpu.make_async_copy(
+                    x_hbm.at[c], bufs[slot].at[r, j], sem.at[slot]
+                ).start()
+
+    def wait_tile_dmas(slot):
+        for _ in range(tr * kb):
+            pltpu.make_async_copy(
+                x_hbm.at[0], bufs[slot].at[0, 0], sem.at[slot]
+            ).wait()
+
+    @pl.when(t == 0)
+    def _():
+        start_tile_dmas(0, 0)
+
+    even = t % 2 == 0
+
+    @pl.when((t + 1 < nt) & even)
+    def _():
+        start_tile_dmas(1, t + 1)
+
+    @pl.when((t + 1 < nt) & jnp.logical_not(even))
+    def _():
+        start_tile_dmas(0, t + 1)
+
+    @pl.when(even)
+    def _():
+        wait_tile_dmas(0)
+
+    @pl.when(jnp.logical_not(even))
+    def _():
+        wait_tile_dmas(1)
+
+    c1 = sc_ref[0, 0]
+    c2 = sc_ref[0, 1]
+    xseg = jnp.where(even, xs0[:], xs1[:])  # (tr, kb, bw)
+    blocks = blocks_ref[:]
+    for r in range(tr):
+        acc = jnp.zeros((bh, 1), jnp.float32)
+        for j in range(kb):
+            acc = acc + jnp.dot(
+                blocks[r, j], (xseg[r, j] * c1).reshape(bw, 1),
+                preferred_element_type=jnp.float32,
+            )
+        u_r = acc - c2 * y_ref[r, :].astype(jnp.float32).reshape(bh, 1)
+        out_ref[r, :] = u_r[:, 0].astype(out_ref.dtype)
+        for j in range(kb):
+            # adjoint partial: blocks[r,j]' @ u_r — (bw, bh) @ (bh, 1) MXU
+            zp = jnp.dot(
+                blocks[r, j].T, u_r, preferred_element_type=jnp.float32
+            )
+            zp_ref[r, j, :] = zp[:, 0].astype(zp_ref.dtype)
+
+
+@functools.partial(jax.jit, static_argnames=("interpret", "tr"))
+def block_ell_pair_windowed(blocks, bcols, x, y, c1, c2, *, interpret=False,
+                            tr=None):
+    """(u_new, zp) for a BlockELL matrix with x left in HBM:
+        u_new = A (x*c1) - c2*y;    zp[r, j] = blocks[r, j]' @ u_new_r
+    blocks: (mb, kb, bh, bw); bcols: (mb, kb); x: (nb*bw,); y: (mb*bh,).
+    Returns u_new (mb*bh,) and zp (mb, kb, bw); the caller assembles
+    z = A'u_new = segment_sum(zp.reshape(mb*kb, bw), bcols.flat)."""
+    mb, kb, bh, bw = blocks.shape
+    if tr is None:
+        tr = 8 if mb >= 8 else 1
+    while mb % tr:
+        tr -= 1
+    nt = mb // tr
+    nb = x.shape[0] // bw
+    x2 = x.reshape(nb, bw)
+    y2 = y.reshape(mb, bh)
+    bflat = bcols.reshape(mb * kb)
+    sc = jnp.stack([jnp.asarray(c1, jnp.float32),
+                    jnp.asarray(c2, jnp.float32)]).reshape(1, 2)
+
+    grid_spec = pltpu.PrefetchScalarGridSpec(
+        num_scalar_prefetch=1,
+        grid=(nt,),
+        in_specs=[
+            pl.BlockSpec(
+                (tr, kb, bh, bw),
+                lambda t, bcols: (t, 0, 0, 0),
+                memory_space=pltpu.VMEM,
+            ),
+            pl.BlockSpec((tr, bh), lambda t, bcols: (t, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, 2), lambda t, bcols: (0, 0),
+                         memory_space=pltpu.SMEM),
+            pl.BlockSpec(memory_space=pl.ANY),  # x stays in HBM
+        ],
+        out_specs=(
+            pl.BlockSpec((tr, bh), lambda t, bcols: (t, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((tr, kb, bw), lambda t, bcols: (t, 0, 0),
+                         memory_space=pltpu.VMEM),
+        ),
+        scratch_shapes=[
+            pltpu.VMEM((tr, kb, bw), blocks.dtype),
+            pltpu.VMEM((tr, kb, bw), blocks.dtype),
+            pltpu.SemaphoreType.DMA((2,)),
+        ],
+    )
+    out, zp = pl.pallas_call(
+        functools.partial(_block_ell_pair_kernel, tr),
+        grid_spec=grid_spec,
+        out_shape=(
+            jax.ShapeDtypeStruct((mb, bh), blocks.dtype),
+            jax.ShapeDtypeStruct((mb, kb, bw), blocks.dtype),
+        ),
+        interpret=interpret,
+        cost_estimate=pl.CostEstimate(
+            flops=4 * mb * kb * bh * bw,
+            bytes_accessed=blocks.size * blocks.dtype.itemsize
+            + mb * kb * bw * x.dtype.itemsize,
+            transcendentals=0,
+        ),
+    )(bflat, blocks, y2, sc, x2)
+    return out.reshape(mb * bh), zp
 
 
 # ---------------------------------------------------------------------------

@@ -668,6 +668,51 @@ class BlockELLOperator(LinearOperator):
             return block_ell_matvec_windowed(self.tblocks, self.tbrows, yp)[: self.n]
         return self._matvec_xla(yp, self.tblocks, self.tbrows, self.n, self.bh)
 
+    @property
+    def prefers_pair(self) -> bool:
+        # pair=True is supported on both substrates (kernel and einsum) but
+        # not auto-routed: the windowed pair KERNEL halves block traffic yet
+        # is pending on-chip verification (multi-output + transposed MXU
+        # dots), and the einsum pair has no traffic advantage over separate
+        # products. Flip after a TPU A/B (BENCHMARKS.md).
+        return False
+
+    def fused_pair(self, *, y, win, c1, c2):
+        """Both products of the bidiagonalization step for a BlockELL
+        matrix: u_new = A(win*c1) - c2*y and z = A'u_new. The adjoint is
+        assembled WITHOUT the transpose packing: per-block partials
+        zp[r, j] = blocks[r, j]' @ u_r (blocks read once in the Pallas
+        windowed form) + a block-level segment-sum over bcols — mb*kb rows
+        of bw, i.e. 1/bh of the block traffic (contrast the reference's
+        per-entry column scatter, lsqr.f90:188-192)."""
+        mb, kb, bh, bw = self.blocks.shape
+        nb = self.tblocks.shape[0]
+        xp = _pad_to(win, nb * bw)
+        yp = _pad_to(y, mb * bh)
+        if self._pallas_selected():
+            from .pallas_spmv import block_ell_pair_windowed
+
+            u, zp = block_ell_pair_windowed(
+                self.blocks, self.bcols, xp, yp, c1, c2,
+                interpret=jax.default_backend() != "tpu",
+            )
+        else:
+            xb = xp.reshape(nb, bw)[self.bcols] * c1   # (mb, kb, bw)
+            ub = jnp.einsum(
+                "rkij,rkj->ri", self.blocks, xb,
+                preferred_element_type=self.dtype,
+            ) - c2 * yp.reshape(mb, bh)
+            u = ub.reshape(-1)
+            zp = jnp.einsum(
+                "rkij,ri->rkj", self.blocks, ub,
+                preferred_element_type=self.dtype,
+            )
+        z = jax.ops.segment_sum(
+            zp.reshape(mb * kb, bw).astype(self.dtype),
+            self.bcols.reshape(-1), num_segments=nb,
+        ).reshape(-1)
+        return u[: self.m], z[: self.n]
+
     def todense(self) -> jax.Array:
         mb, kb, bh, bw = self.blocks.shape
         dense = np.zeros((mb * bh, self.tblocks.shape[0] * bw), self.blocks.dtype)

@@ -236,3 +236,53 @@ def test_pair_f64_stays_exact(rng):
         assert abs(int(res.itn) - int(ref.itn)) <= 1
         err = float(jnp.max(jnp.abs(res.x - ref.x)))
         assert err < 1e-10, err  # f64-level agreement, not f32
+
+
+def _block_problem(rng, mb=12, nbk=10, bh=8, bw=8, per_row=3):
+    from lsqr_tpu.ops.structured import block_ell_operator
+
+    m, n = mb * bh - 3, nbk * bw - 5
+    dense = np.zeros((m, n), np.float32)
+    for r in range(mb):
+        for c in sorted(rng.choice(nbk, size=per_row, replace=False)):
+            r0, c0 = r * bh, c * bw
+            h, w = min(bh, m - r0), min(bw, n - c0)
+            if h > 0 and w > 0:
+                dense[r0:r0 + h, c0:c0 + w] = rng.standard_normal(
+                    (h, w)).astype(np.float32)
+    rr, cc = np.nonzero(dense)
+    A = block_ell_operator(m, n, dense[rr, cc], rr, cc, block=(bh, bw))
+    return A, dense
+
+
+@pytest.mark.parametrize("use_pallas", [False, True])
+def test_block_ell_pair(rng, use_pallas):
+    """BlockELL fused pair: per-block adjoint partials + block-level
+    segment-sum replace the transpose packing; kernel form (interpret)
+    and einsum form agree with the dense oracle."""
+    import dataclasses
+
+    A, dense = _block_problem(rng)
+    if use_pallas:
+        A = dataclasses.replace(A, use_pallas=True)
+    m, n = dense.shape
+    v = rng.standard_normal(n).astype(np.float32)
+    y = rng.standard_normal(m).astype(np.float32)
+    c1, c2 = 0.9, 1.2
+    u_ref = dense @ (v * np.float32(c1)) - np.float32(c2) * y
+    z_ref = dense.T @ u_ref
+    u, z = A.fused_pair(y=jnp.asarray(y), win=jnp.asarray(v), c1=c1, c2=c2)
+    assert np.abs(np.asarray(u) - u_ref).max() < 1e-4
+    assert np.abs(np.asarray(z) - z_ref).max() < 1e-4
+
+
+def test_block_ell_pair_solve(rng):
+    A, dense = _block_problem(rng)
+    m = dense.shape[0]
+    b = rng.standard_normal(m).astype(np.float32)
+    ref = lt.lsqr(A, b, 0.05, atol=1e-6, btol=1e-6)
+    res = lt.lsqr(A, b, 0.05, atol=1e-6, btol=1e-6, pair=True)
+    assert int(res.istop) == int(ref.istop)
+    assert abs(int(res.itn) - int(ref.itn)) <= 2
+    scale = float(jnp.max(jnp.abs(ref.x))) + 1e-30
+    assert float(jnp.max(jnp.abs(res.x - ref.x))) / scale < 1e-3
