@@ -23,6 +23,17 @@ A from-scratch re-design of the capabilities of jacobwilliams/LSQR
 from .api import LSQRSolver
 from .config import LSQROptions, default_dtype, enable_x64
 from .diagnostics import ACheckResult, XCheckResult, acheck, xcheck
+from .ops.compose import (
+    DiagonalOperator,
+    HStackOperator,
+    ScaledOperator,
+    VStackOperator,
+    diagonal_operator,
+    hstack_operators,
+    scale_operator,
+    tikhonov,
+    vstack_operators,
+)
 from .ops.coo import COOOperator, coo_operator
 from .ops.linop import CallbackOperator, DenseOperator, LinearOperator, as_operator
 from .batch import lsqr_batch
