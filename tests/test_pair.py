@@ -286,3 +286,34 @@ def test_block_ell_pair_solve(rng):
     assert abs(int(res.itn) - int(ref.itn)) <= 2
     scale = float(jnp.max(jnp.abs(ref.x))) + 1e-30
     assert float(jnp.max(jnp.abs(res.x - ref.x))) / scale < 1e-3
+
+
+def test_dia_pair_geometry_fuzz(rng):
+    """Randomized geometry sweep for the pair kernel's overlap-add: random
+    shapes (incl. m < tile), offset sets (one-sided, wide, sparse) and
+    scalars, interpret mode vs dense oracle."""
+    for trial in range(25):
+        m = int(rng.integers(64, 4200))
+        n = int(rng.integers(64, 4200))
+        nd = int(rng.integers(1, 7))
+        span = int(rng.integers(1, max(2, min(m, n))))
+        offsets = tuple(sorted(rng.choice(
+            np.arange(-span, span + 1), size=nd, replace=False).tolist()))
+        data, A = _dense_from_offsets(rng, m, n, offsets)
+        v = rng.standard_normal(n).astype(np.float32)
+        y = rng.standard_normal(m).astype(np.float32)
+        c1 = float(rng.uniform(0.1, 2.0))
+        c2 = float(rng.uniform(0.0, 2.0))
+        u_ref = A @ (v * np.float32(c1)) - np.float32(c2) * y
+        z_ref = A.T @ u_ref
+        u, z = dia_pair(
+            jnp.asarray(data), jnp.asarray(y), jnp.asarray(v), c1, c2,
+            offsets=offsets, m=m, n=n, interpret=True, tm=1024,
+        )
+        su = np.abs(u_ref).max() + 1e-30
+        sz = np.abs(z_ref).max() + 1e-30
+        eu = np.abs(np.asarray(u) - u_ref).max() / su
+        ez = np.abs(np.asarray(z) - z_ref).max() / sz
+        assert eu < 1e-5 and ez < 1e-5, (
+            trial, m, n, offsets, eu, ez
+        )
