@@ -297,12 +297,24 @@ def cgls(
         )
 
     if x0 is not None:
-        if isinstance(damp, (int, float)) and damp != 0.0:
-            raise ValueError(
-                "x0 warm start implements the residual-correction recipe "
-                "(lsqr.f90:303-320), which requires damp == 0"
-            )
         x0 = jnp.asarray(x0, dtype)
+        if isinstance(damp, (int, float)) and damp != 0.0:
+            # damped warm start via the stacked undamped form (see
+            # lsqr_tpu.solver lsqr())
+            from .ops.compose import diagonal_operator, vstack_operators
+
+            damp_arr = jnp.asarray(damp, dtype)
+            stacked = vstack_operators(
+                [A, diagonal_operator(jnp.full((A.n,), damp_arr, dtype))]
+            )
+            rhs = jnp.concatenate([b - A.matvec(x0), -damp_arr * x0])
+            res = cgls(
+                stacked, rhs, 0.0, atol=atol, btol=btol, itnlim=itnlim,
+                safe_norms=safe_norms, loop=loop,
+                loop_segment=loop_segment, _jit=_jit,
+            )
+            xw = x0 + res.x
+            return res._replace(x=xw, xnorm=nrm2(xw, safe=safe_norms))
         r0 = b - A.matvec(x0)
         res = cgls(
             A, r0, damp, atol=atol, btol=btol, itnlim=itnlim,

@@ -621,10 +621,12 @@ def lsqr(
       b: right-hand side, shape (m,). NOT overwritten (the reference
         overwrites u in place, lsqr.f90:461-462 — a non-issue functionally).
       damp: damping parameter (lsqr.f90:440-450).
-      x0: optional warm-start estimate. Implements the documented recipe
-        (lsqr.f90:303-320): solve ``A dx = b - A x0`` and return
-        ``x = x0 + dx``. Only meaningful for damp == 0; a nonzero concrete
-        damp together with x0 raises.
+      x0: optional warm-start estimate. For damp == 0, the documented
+        recipe (lsqr.f90:303-320): solve ``A dx = b - A x0``, return
+        ``x = x0 + dx``. For damp > 0 (beyond the reference), the exact
+        stacked form: ``min ||[A; damp I] dx - [b - A x0; -damp x0]||`` —
+        rnorm/anorm/acond keep their damped (Abar) semantics and istop 2
+        maps to 3.
       options / option_overrides: see :class:`lsqr_tpu.config.LSQROptions`.
 
     Returns:
@@ -681,12 +683,30 @@ def lsqr(
             )
 
     if x0 is not None:
-        if isinstance(damp, (int, float)) and damp != 0.0:
-            raise ValueError(
-                "x0 warm start implements the residual-correction recipe "
-                "(lsqr.f90:303-320), which requires damp == 0"
-            )
         x0 = jnp.asarray(x0, dtype)
+        if isinstance(damp, (int, float)) and damp != 0.0:
+            # Damped warm start — beyond the reference's documented recipe
+            # (lsqr.f90:303-320, undamped only). Substituting x = x0 + dx
+            # into min ||[A; damp I] x - [b; 0]|| gives the UNDAMPED
+            # stacked problem
+            #     min || [A; damp I] dx - [b - A x0; -damp x0] ||
+            # whose augmented residual norm IS the damped rnorm, and whose
+            # [A; damp I] norms match Abar's. istop 2 maps back to 3
+            # (damped LS solution found), as the core does at lsqr.f90:871.
+            from .ops.compose import diagonal_operator, vstack_operators
+
+            damp_arr = jnp.asarray(damp, dtype)
+            stacked = vstack_operators(
+                [A, diagonal_operator(jnp.full((A.n,), damp_arr, dtype))]
+            )
+            rhs = jnp.concatenate([b - A.matvec(x0), -damp_arr * x0])
+            res = lsqr(stacked, rhs, 0.0, options=opts, _jit=_jit)
+            xw = x0 + res.x
+            istop = jnp.where(res.istop == 2, 3, res.istop)
+            return res._replace(
+                x=xw, istop=istop,
+                xnorm=nrm2(xw, safe=opts.safe_norms),
+            )
         r0 = b - A.matvec(x0)
         res = lsqr(A, r0, damp, options=opts, _jit=_jit)
         return res._replace(x=x0 + res.x, xnorm=nrm2(x0 + res.x, safe=opts.safe_norms))

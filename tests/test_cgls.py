@@ -97,8 +97,13 @@ def test_cgls_x0_warm_start(rng):
     np.testing.assert_allclose(np.asarray(res.x), xs, atol=1e-8)
     cold = lt.cgls(op, jnp.asarray(b), atol=1e-12, btol=1e-12)
     assert int(res.itn) <= int(cold.itn)
-    with pytest.raises(ValueError):
-        lt.cgls(op, jnp.asarray(b), 0.1, x0=jnp.asarray(x0))
+    # damped warm start (stacked undamped form)
+    refd = lt.cgls(op, jnp.asarray(b), 0.1, atol=1e-12, btol=1e-12)
+    resd = lt.cgls(op, jnp.asarray(b), 0.1, x0=refd.x, atol=1e-10,
+                   btol=1e-10)
+    np.testing.assert_allclose(np.asarray(resd.x), np.asarray(refd.x),
+                               atol=1e-8)
+    assert int(resd.itn) <= 3
 
 
 def test_cgls_bounded_loop_matches_while(rng):

@@ -87,8 +87,13 @@ def test_lsmr_x0_warm_start():
     cold = lt.lsmr(A, b, atol=1e-12, btol=1e-12)
     assert int(res.itn) < int(cold.itn)
     np.testing.assert_allclose(np.asarray(res.x), ref[0], atol=1e-8)
-    with pytest.raises(ValueError):
-        lt.lsmr(A, b, 0.5, x0=x0)
+    # damped warm start (beyond the reference's recipe): lands on the same
+    # damped solution via the stacked undamped form
+    refd = lt.lsmr(A, b, 0.5, atol=1e-12, btol=1e-12)
+    resd = lt.lsmr(A, b, 0.5, x0=np.asarray(refd.x), atol=1e-10, btol=1e-10)
+    np.testing.assert_allclose(np.asarray(resd.x), np.asarray(refd.x),
+                               atol=1e-8)
+    assert int(resd.itn) <= 3
 
 
 def test_lsmr_itnlim():

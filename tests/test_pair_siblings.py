@@ -92,3 +92,28 @@ def test_pair_unsupported_raises(rng):
         craig(A, b, pair=True)
     with pytest.raises(ValueError, match="fused_pair"):
         cgls(A, b, pair=True)
+
+
+def test_damped_warm_start_all_solvers(rng):
+    """x0 warm start with damp > 0 (beyond the reference's undamped
+    recipe): lands on the same damped solution via the stacked form."""
+    import jax.numpy as jnp
+
+    from lsqr_tpu import cgls, lsmr, lsqr
+
+    m, n = 150, 90
+    Ad = rng.standard_normal((m, n)).astype(np.float32)
+    A = jnp.asarray(Ad)
+    b = rng.standard_normal(m).astype(np.float32)
+    damp = 0.3
+    for solver, kw in [(lsqr, {}), (lsmr, {}), (cgls, {})]:
+        ref = solver(A, b, damp, atol=1e-7, btol=1e-7)
+        x0 = np.asarray(ref.x) + 0.05 * rng.standard_normal(n).astype(
+            np.float32)
+        res = solver(A, b, damp, x0=x0, atol=1e-7, btol=1e-7)
+        err = float(jnp.max(jnp.abs(res.x - ref.x)))
+        assert err < 1e-4, (solver.__name__, err)
+    # lsqr damped istop semantics survive the mapping
+    reslq = lsqr(A, b, damp, x0=np.zeros(n, np.float32),
+                 atol=1e-7, btol=1e-7)
+    assert int(reslq.istop) == 3
