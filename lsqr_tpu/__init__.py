@@ -36,7 +36,7 @@ from .ops.compose import (
 )
 from .ops.coo import COOOperator, coo_operator
 from .ops.linop import CallbackOperator, DenseOperator, LinearOperator, as_operator
-from .batch import lsqr_batch
+from .batch import cgls_batch, lsmr_batch, lsqr_batch
 from .implicit import lsqr_grad, normal_cg
 from .ops.interop import (auto_operator, csr_operator, from_scipy,
                           lsqr_scipy, lsmr_scipy)

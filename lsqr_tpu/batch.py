@@ -21,7 +21,7 @@ from .config import LSQROptions
 from .ops.linop import as_operator
 from .solver import LSQRResult, _build, _lsqr_impl, _masked_body
 
-__all__ = ["lsqr_batch"]
+__all__ = ["lsqr_batch", "lsmr_batch", "cgls_batch"]
 
 
 @partial(
@@ -172,3 +172,125 @@ def lsqr_batch(
             *args, seg_len=opts.loop_segment, itnlim=itnlim, **kwargs
         )
     return _batch_impl(*args, itnlim=itnlim, **kwargs)
+
+
+# ---------------------------------------------------------------------------
+# Sibling batches: the same vmapped-loop / bounded-segment pattern over the
+# LSMR and CGLS builders (one operator, many right-hand sides).
+# ---------------------------------------------------------------------------
+
+
+def _sibling_batch(build, n_extra_scalars):
+    """Factory: batched runner for a sibling solver's _build. ``args`` after
+    (A, B, damp) are broadcast scalars."""
+
+    @partial(jax.jit, static_argnames=("static_opts", "seg_len", "first"))
+    def seg(A, B, damp, scalars, carry, *, static_opts, seg_len, first):
+        so = dict(static_opts)
+
+        def one(b, d, c):
+            carry0, cond_fun, body_fun, _ = build(A, b, d, *scalars, **so)
+            c = carry0 if first else c
+            return jax.lax.fori_loop(
+                0, seg_len, _masked_body(cond_fun, body_fun), c, unroll=False
+            )
+
+        if first:
+            return jax.vmap(lambda b, d: one(b, d, None))(B, damp)
+        return jax.vmap(one)(B, damp, carry)
+
+    @partial(jax.jit, static_argnames=("static_opts",))
+    def fin(A, B, damp, scalars, carry, *, static_opts):
+        so = dict(static_opts)
+
+        def one(b, d, c):
+            _, _, _, finalize = build(A, b, d, *scalars, **so)
+            return finalize(c)
+
+        return jax.vmap(one)(B, damp, carry)
+
+    @partial(jax.jit, static_argnames=("static_opts",))
+    def whole(A, B, damp, scalars, *, static_opts):
+        so = dict(static_opts)
+
+        def one(b, d):
+            carry0, cond_fun, body_fun, finalize = build(A, b, d, *scalars,
+                                                         **so)
+            return finalize(jax.lax.while_loop(cond_fun, body_fun, carry0))
+
+        return jax.vmap(one)(B, damp)
+
+    def run(A, B, damp, scalars, *, itnlim, seg_len, loop, static_opts):
+        so_key = tuple(sorted(static_opts.items()))
+        if loop != "bounded":
+            return whole(A, B, damp, scalars, static_opts=so_key)
+        carry = None
+        first = True
+        sl = min(seg_len, itnlim) if itnlim > 0 else seg_len
+        while True:
+            prev = int(jnp.sum(carry.itn)) if carry is not None else -1
+            carry = seg(A, B, damp, scalars, carry,
+                        static_opts=so_key, seg_len=sl, first=first)
+            first = False
+            done = bool(jnp.all((carry.istop != 0) | (carry.itn >= itnlim)))
+            if done or int(jnp.sum(carry.itn)) == prev:
+                break
+        return fin(A, B, damp, scalars, carry, static_opts=so_key)
+
+    return run
+
+
+def _batch_setup(A, B, damp, m, n):
+    A = as_operator(A, m=m, n=n)
+    B = jnp.asarray(B)
+    if B.ndim != 2 or B.shape[1] != A.m:
+        raise ValueError(f"B must have shape (batch, m={A.m}); got {B.shape}")
+    dtype = B.dtype if jnp.issubdtype(B.dtype, jnp.floating) else None
+    if dtype is None:
+        from .config import default_dtype
+
+        dtype = default_dtype()
+    B = B.astype(dtype)
+    damp_arr = jnp.broadcast_to(jnp.asarray(damp, dtype), (B.shape[0],))
+    return A, B, damp_arr, dtype
+
+
+def lsmr_batch(A, B, damp=0.0, *, atol=1e-6, btol=1e-6, conlim=1e8,
+               itnlim=None, safe_norms=True, loop=None, loop_segment=64,
+               m=None, n=None):
+    """Batched LSMR: solve every row of B at once (see :func:`lsqr_batch`;
+    result fields carry a leading batch dimension)."""
+    import importlib
+
+    lsmr_mod = importlib.import_module("lsqr_tpu.lsmr")
+    A, B, damp_arr, dtype = _batch_setup(A, B, damp, m, n)
+    if itnlim is None:
+        itnlim = min(int(A.m), int(A.n))
+    if loop is None:
+        loop = "bounded" if getattr(A, "prefers_bounded_loop", False) else "while"
+    scalars = (jnp.asarray(atol, dtype), jnp.asarray(btol, dtype),
+               jnp.asarray(conlim, dtype))
+    so = dict(itnlim=int(itnlim), record_trace=False, safe_norms=safe_norms)
+    return _sibling_batch(lsmr_mod._build, 3)(
+        A, B, damp_arr, scalars, itnlim=int(itnlim), seg_len=loop_segment,
+        loop=loop, static_opts=so,
+    )
+
+
+def cgls_batch(A, B, damp=0.0, *, atol=1e-6, btol=1e-6, itnlim=None,
+               safe_norms=True, loop=None, loop_segment=64, m=None, n=None):
+    """Batched CGLS (see :func:`lsqr_batch`)."""
+    import importlib
+
+    cgls_mod = importlib.import_module("lsqr_tpu.cgls")
+    A, B, damp_arr, dtype = _batch_setup(A, B, damp, m, n)
+    if itnlim is None:
+        itnlim = 4 * int(A.n)
+    if loop is None:
+        loop = "bounded" if getattr(A, "prefers_bounded_loop", False) else "while"
+    scalars = (jnp.asarray(atol, dtype), jnp.asarray(btol, dtype))
+    so = dict(itnlim=int(itnlim), safe_norms=safe_norms)
+    return _sibling_batch(cgls_mod._build, 2)(
+        A, B, damp_arr, scalars, itnlim=int(itnlim), seg_len=loop_segment,
+        loop=loop, static_opts=so,
+    )

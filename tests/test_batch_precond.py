@@ -206,3 +206,54 @@ def test_preconditioning_composes_with_siblings(rng):
         assert int(pre.itn) < int(raw.itn) / 2, solver.__name__
         np.testing.assert_allclose(x, xref, atol=1e-5,
                                    err_msg=solver.__name__)
+
+
+def test_lsmr_batch_matches_sequential(rng):
+    import jax.numpy as jnp
+
+    from lsqr_tpu import lsmr, lsmr_batch
+
+    m, n = 120, 80
+    A = jnp.asarray(rng.standard_normal((m, n)))
+    B = rng.standard_normal((4, m))
+    damps = np.array([0.0, 0.05, 0.2, 0.0])
+    res = lsmr_batch(A, B, damps, atol=1e-10, btol=1e-10)
+    assert res.x.shape == (4, n)
+    for i in range(4):
+        ref = lsmr(A, B[i], float(damps[i]), atol=1e-10, btol=1e-10)
+        assert int(res.istop[i]) == int(ref.istop)
+        assert int(res.itn[i]) == int(ref.itn)
+        np.testing.assert_allclose(np.asarray(res.x[i]),
+                                   np.asarray(ref.x), atol=1e-9)
+
+
+def test_cgls_batch_matches_sequential(rng):
+    import jax.numpy as jnp
+
+    from lsqr_tpu import cgls, cgls_batch
+
+    m, n = 120, 80
+    A = jnp.asarray(rng.standard_normal((m, n)))
+    B = rng.standard_normal((3, m))
+    res = cgls_batch(A, B, 0.1, atol=1e-9, btol=1e-9)
+    assert res.x.shape == (3, n)
+    for i in range(3):
+        ref = cgls(A, B[i], 0.1, atol=1e-9, btol=1e-9)
+        assert int(res.istop[i]) == int(ref.istop)
+        np.testing.assert_allclose(np.asarray(res.x[i]),
+                                   np.asarray(ref.x), atol=1e-8)
+
+
+def test_lsmr_batch_bounded(rng):
+    import jax.numpy as jnp
+
+    from lsqr_tpu import lsmr_batch
+
+    m = n = 100
+    A = jnp.asarray(rng.standard_normal((m, n)) + 4 * np.eye(n))
+    B = rng.standard_normal((3, m))
+    ref = lsmr_batch(A, B, 0.01, atol=1e-9, btol=1e-9)
+    res = lsmr_batch(A, B, 0.01, atol=1e-9, btol=1e-9,
+                     loop="bounded", loop_segment=7)
+    np.testing.assert_array_equal(np.asarray(res.x), np.asarray(ref.x))
+    np.testing.assert_array_equal(np.asarray(res.itn), np.asarray(ref.itn))
