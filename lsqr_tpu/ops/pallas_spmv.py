@@ -1271,13 +1271,15 @@ def _dia_pair_kernel(
 
     # adjoint partials: z[t0 + r + k] += data[d, r] * u_new[r], emitted as a
     # (W,) block whose position w maps to global column t0 - lo + w.
-    zacc = jnp.zeros((W,), jnp.float32)
+    # Accumulate by static-slice read-modify-write on the output block
+    # (each block is visited exactly once, so there is no cross-step
+    # pipeline hazard; ref slicing with static bounds is the
+    # Mosaic-proven pattern of the JDIA/megakernel kernels).
+    z_ref[:] = jnp.zeros((W,), z_ref.dtype)
     for d, k in enumerate(offsets):
         contrib = stripes[d] * acc
-        zacc = zacc + jax.lax.pad(
-            contrib, jnp.float32(0.0), [(lo + k, W - tm - lo - k, 0)]
-        )
-    z_ref[:] = zacc.astype(z_ref.dtype)
+        s0 = lo + k
+        z_ref[s0:s0 + tm] = z_ref[s0:s0 + tm] + contrib.astype(z_ref.dtype)
 
 
 def _overlap_add(zp, nt, tm, W, lo, n, dtype):
@@ -1700,13 +1702,13 @@ def _dia_pair_shared_kernel(
         stripes.append(seg_d)
     out_ref[:] = acc.astype(out_ref.dtype)
 
-    zacc = jnp.zeros((W,), jnp.float32)
+    # static-slice RMW on the (once-visited) output block — see
+    # _dia_pair_kernel
+    z_ref[:] = jnp.zeros((W,), z_ref.dtype)
     for d, k in enumerate(offsets):
         contrib = stripes[d] * acc
-        zacc = zacc + jax.lax.pad(
-            contrib, jnp.float32(0.0), [(H + k, W - tm - H - k, 0)]
-        )
-    z_ref[:] = zacc.astype(z_ref.dtype)
+        s0 = H + k
+        z_ref[s0:s0 + tm] = z_ref[s0:s0 + tm] + contrib.astype(z_ref.dtype)
 
 
 @functools.partial(
