@@ -180,9 +180,9 @@ def lsqr_batch(
 # ---------------------------------------------------------------------------
 
 
-def _sibling_batch(build, n_extra_scalars):
-    """Factory: batched runner for a sibling solver's _build. ``args`` after
-    (A, B, damp) are broadcast scalars."""
+def _sibling_batch(build):
+    """Factory: batched runner over a sibling solver's _build pieces;
+    ``scalars`` are the solver's trailing scalar args (atol, btol, ...)."""
 
     @partial(jax.jit, static_argnames=("static_opts", "seg_len", "first"))
     def seg(A, B, damp, scalars, carry, *, static_opts, seg_len, first):
@@ -271,7 +271,7 @@ def lsmr_batch(A, B, damp=0.0, *, atol=1e-6, btol=1e-6, conlim=1e8,
     scalars = (jnp.asarray(atol, dtype), jnp.asarray(btol, dtype),
                jnp.asarray(conlim, dtype))
     so = dict(itnlim=int(itnlim), record_trace=False, safe_norms=safe_norms)
-    return _sibling_batch(lsmr_mod._build, 3)(
+    return _sibling_batch(lsmr_mod._build)(
         A, B, damp_arr, scalars, itnlim=int(itnlim), seg_len=loop_segment,
         loop=loop, static_opts=so,
     )
@@ -290,7 +290,7 @@ def cgls_batch(A, B, damp=0.0, *, atol=1e-6, btol=1e-6, itnlim=None,
         loop = "bounded" if getattr(A, "prefers_bounded_loop", False) else "while"
     scalars = (jnp.asarray(atol, dtype), jnp.asarray(btol, dtype))
     so = dict(itnlim=int(itnlim), safe_norms=safe_norms)
-    return _sibling_batch(cgls_mod._build, 2)(
+    return _sibling_batch(cgls_mod._build)(
         A, B, damp_arr, scalars, itnlim=int(itnlim), seg_len=loop_segment,
         loop=loop, static_opts=so,
     )
