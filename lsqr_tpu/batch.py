@@ -180,9 +180,16 @@ def lsqr_batch(
 # ---------------------------------------------------------------------------
 
 
+_SIBLING_RUNNERS = {}
+
+
 def _sibling_batch(build):
     """Factory: batched runner over a sibling solver's _build pieces;
-    ``scalars`` are the solver's trailing scalar args (atol, btol, ...)."""
+    ``scalars`` are the solver's trailing scalar args (atol, btol, ...).
+    Memoized per build function so the jitted closures (and their compile
+    caches) are created once."""
+    if build in _SIBLING_RUNNERS:
+        return _SIBLING_RUNNERS[build]
 
     @partial(jax.jit, static_argnames=("static_opts", "seg_len", "first"))
     def seg(A, B, damp, scalars, carry, *, static_opts, seg_len, first):
@@ -237,6 +244,7 @@ def _sibling_batch(build):
                 break
         return fin(A, B, damp, scalars, carry, static_opts=so_key)
 
+    _SIBLING_RUNNERS[build] = run
     return run
 
 
