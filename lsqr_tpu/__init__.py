@@ -38,6 +38,7 @@ from .ops.coo import COOOperator, coo_operator
 from .ops.linop import CallbackOperator, DenseOperator, LinearOperator, as_operator
 from .batch import cgls_batch, lsmr_batch, lsqr_batch
 from .implicit import lsqr_grad, normal_cg
+from .multidamp import lsqr_multidamp
 from .ops.interop import (auto_operator, csr_operator, from_scipy,
                           lsqr_scipy, lsmr_scipy)
 from .ops.megakernel import lsqr_megakernel, megakernel_supported
@@ -96,6 +97,7 @@ __all__ = [
     "default_dtype",
     "enable_x64",
     "lsqr_batch",
+    "lsqr_multidamp",
     "from_scipy",
     "lsqr_scipy",
     "lsmr_scipy",

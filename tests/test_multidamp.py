@@ -1,0 +1,121 @@
+"""lsqr_multidamp: k damped solves from one shared bidiagonalization.
+
+The claim under test (multidamp.py docstring): because the Golub-Kahan
+bidiagonalization is damp-independent (/root/reference/src/lsqr.f90:681-699;
+damp enters only at :703), every damp's iterates are IDENTICAL to a
+standalone lsqr run with that damp — so the multi-damp result must match
+per-damp sequential solves essentially bitwise, including istop/itn and all
+norm estimates, with converged damps frozen while stragglers continue.
+"""
+
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from lsqr_tpu import LSQROptions, lsqr, lsqr_multidamp
+from lsqr_tpu.ops.linop import DenseOperator
+from lsqr_tpu.ops.structured import dia_operator
+
+
+def _dense_problem(rng, m=60, n=40):
+    A = jnp.asarray(rng.standard_normal((m, n)))
+    b = jnp.asarray(rng.standard_normal((m,)))
+    return DenseOperator(A), b
+
+
+DAMPS = [0.0, 1e-6, 1e-3, 0.5, 2.0]
+
+
+def test_matches_sequential_solves(rng):
+    A, b = _dense_problem(rng)
+    res = lsqr_multidamp(A, b, DAMPS, atol=1e-12, btol=1e-12)
+    assert res.x.shape == (len(DAMPS), A.n)
+    for j, damp in enumerate(DAMPS):
+        single = lsqr(A, b, damp, atol=1e-12, btol=1e-12)
+        assert int(res.istop[j]) == int(single.istop), f"damp={damp}"
+        assert int(res.itn[j]) == int(single.itn), f"damp={damp}"
+        np.testing.assert_allclose(res.x[j], single.x, rtol=1e-12, atol=1e-14)
+        for field in ("anorm", "acond", "rnorm", "arnorm", "xnorm",
+                      "dxmax", "bnorm"):
+            np.testing.assert_allclose(
+                np.asarray(getattr(res, field))[j],
+                np.asarray(getattr(single, field)),
+                rtol=1e-10, err_msg=f"{field} damp={damp}",
+            )
+
+
+def test_wantse_matches(rng):
+    A, b = _dense_problem(rng, m=50, n=30)
+    damps = [0.0, 1e-2]
+    res = lsqr_multidamp(A, b, damps, wantse=True, atol=1e-12, btol=1e-12)
+    assert res.se.shape == (2, A.n)
+    for j, damp in enumerate(damps):
+        single = lsqr(A, b, damp, wantse=True, atol=1e-12, btol=1e-12)
+        np.testing.assert_allclose(res.se[j], single.se, rtol=1e-10)
+
+
+def test_bounded_loop_matches_while(rng):
+    A, b = _dense_problem(rng)
+    res_w = lsqr_multidamp(A, b, DAMPS, atol=1e-10, btol=1e-10)
+    res_b = lsqr_multidamp(
+        A, b, DAMPS, atol=1e-10, btol=1e-10,
+        options=LSQROptions(loop="bounded", loop_segment=7),
+    )
+    np.testing.assert_array_equal(np.asarray(res_w.istop), np.asarray(res_b.istop))
+    np.testing.assert_array_equal(np.asarray(res_w.itn), np.asarray(res_b.itn))
+    np.testing.assert_allclose(res_w.x, res_b.x, rtol=1e-13)
+
+
+def test_dia_pair_path_matches(rng):
+    """The pair (single-stripe-pass) kernel path, interpret mode on CPU."""
+    m = n = 96
+    offsets = (-2, 0, 3)
+    data = jnp.asarray(rng.standard_normal((len(offsets), n)), jnp.float32)
+    A = dia_operator(m, n, offsets, data)
+    b = jnp.asarray(rng.standard_normal((m,)), jnp.float32)
+    damps = [0.0, 1e-2, 1.0]
+    res = lsqr_multidamp(A, b, damps, atol=1e-5, btol=1e-5)
+    for j, damp in enumerate(damps):
+        single = lsqr(A, b, damp, atol=1e-5, btol=1e-5)
+        assert int(res.istop[j]) == int(single.istop)
+        assert int(res.itn[j]) == int(single.itn)
+        np.testing.assert_allclose(res.x[j], single.x, rtol=2e-5, atol=2e-6)
+
+
+def test_oracle_damped_normal_equations(rng):
+    """Each damped solution solves (A'A + damp^2 I) x = A'b."""
+    A, b = _dense_problem(rng, m=80, n=30)
+    damps = jnp.asarray([1e-2, 0.1, 1.0])
+    res = lsqr_multidamp(A, b, damps, atol=1e-13, btol=1e-13)
+    Ad = np.asarray(A.a)
+    bd = np.asarray(b)
+    for j, damp in enumerate(np.asarray(damps)):
+        x_exact = np.linalg.solve(
+            Ad.T @ Ad + damp**2 * np.eye(A.n), Ad.T @ bd
+        )
+        np.testing.assert_allclose(res.x[j], x_exact, rtol=1e-8, atol=1e-10)
+
+
+def test_zero_rhs_all_damps():
+    A = DenseOperator(jnp.eye(4))
+    res = lsqr_multidamp(A, jnp.zeros((4,)), [0.0, 1.0])
+    assert np.all(np.asarray(res.istop) == 0)  # x = 0 exact
+    np.testing.assert_array_equal(np.asarray(res.x), 0.0)
+
+
+def test_validation_errors(rng):
+    A, b = _dense_problem(rng)
+    with pytest.raises(ValueError, match="non-empty"):
+        lsqr_multidamp(A, b, jnp.zeros((0,)))
+    with pytest.raises(ValueError, match="record_trace"):
+        lsqr_multidamp(A, b, [0.0], record_trace=True)
+    with pytest.raises(ValueError, match="length m"):
+        lsqr_multidamp(A, b[:-1], [0.0])
+
+
+def test_scalar_damps_promoted(rng):
+    A, b = _dense_problem(rng)
+    res = lsqr_multidamp(A, b, 0.5, atol=1e-10, btol=1e-10)
+    assert res.x.shape == (1, A.n)
+    single = lsqr(A, b, 0.5, atol=1e-10, btol=1e-10)
+    np.testing.assert_allclose(res.x[0], single.x, rtol=1e-12)
