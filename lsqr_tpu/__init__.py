@@ -39,8 +39,9 @@ from .ops.linop import CallbackOperator, DenseOperator, LinearOperator, as_opera
 from .batch import cgls_batch, lsmr_batch, lsqr_batch
 from .implicit import lsqr_grad, normal_cg
 from .multidamp import lsqr_multidamp
-from .ops.interop import (auto_operator, csr_operator, from_scipy,
-                          lsqr_scipy, lsmr_scipy)
+from .regpath import RegPath, discrepancy_damp, lcurve_corner, reg_sweep
+from .ops.interop import (auto_operator, csr_operator, from_matrix_market,
+                          from_scipy, lsqr_scipy, lsmr_scipy)
 from .ops.megakernel import lsqr_megakernel, megakernel_supported
 from .ops.megakernel_lsmr import lsmr_megakernel, lsmr_megakernel_supported
 from .ops.megakernel_craig import craig_megakernel, craig_megakernel_supported
@@ -98,7 +99,12 @@ __all__ = [
     "enable_x64",
     "lsqr_batch",
     "lsqr_multidamp",
+    "RegPath",
+    "reg_sweep",
+    "discrepancy_damp",
+    "lcurve_corner",
     "from_scipy",
+    "from_matrix_market",
     "lsqr_scipy",
     "lsmr_scipy",
     "lsqr_megakernel",

@@ -21,7 +21,44 @@ from .coo import COOOperator, coo_operator
 from .linop import LinearOperator
 from .structured import block_ell_operator, dia_operator, ell_operator
 
-__all__ = ["from_scipy", "csr_operator", "auto_operator", "lsqr_scipy"]
+__all__ = [
+    "from_scipy", "from_matrix_market", "csr_operator", "auto_operator",
+    "lsqr_scipy",
+]
+
+
+def from_matrix_market(path, *, dtype=None,
+                       format: Optional[str] = None) -> LinearOperator:
+    """Load a Matrix Market (.mtx / .mtx.gz) file as an lsqr_tpu operator.
+
+    The standard interchange format for the sparse test collections
+    (SuiteSparse/Matrix Market) the LSQR literature benchmarks on; the
+    reference has no file ingestion at all (COO arrays in memory only,
+    lsqr.f90:91-127). Dense .mtx arrays become a DenseOperator; sparse
+    ones go through :func:`from_scipy` (auto format selection unless
+    ``format`` is given). Complex matrices are rejected — the solvers are
+    real, like the reference.
+    """
+    import scipy.io
+    import scipy.sparse
+
+    mat = scipy.io.mmread(str(path))
+    if np.iscomplexobj(mat):
+        raise ValueError(
+            f"{path}: complex Matrix Market files are not supported "
+            "(the solver family is real, like the reference)"
+        )
+    if scipy.sparse.issparse(mat):
+        return from_scipy(mat, dtype=dtype, format=format)
+    from .linop import DenseOperator
+    import jax.numpy as jnp
+
+    arr = np.asarray(mat)
+    if dtype is None:
+        from ..config import default_dtype
+
+        dtype = default_dtype()
+    return DenseOperator(jnp.asarray(arr, dtype))
 
 
 def csr_operator(m, n, indptr, indices, data, *, dtype=None, format="ell"):

@@ -170,3 +170,44 @@ def test_lsmr_scipy_drop_in(rng):
     # conda (maxrbar/minrbar ratio) is the most rounding-sensitive
     # estimate: observed ~0.3% drift from reduction order
     np.testing.assert_allclose(ours[6], ref[6], rtol=1e-2)
+
+
+def test_from_matrix_market_sparse_and_dense(tmp_path, rng):
+    import jax.numpy as jnp
+    import scipy.io
+    import scipy.sparse
+    import scipy.sparse.linalg
+
+    from lsqr_tpu import from_matrix_market, lsqr
+
+    m, n, nnz = 40, 25, 150
+    r = rng.integers(0, m, nnz)
+    c = rng.integers(0, n, nnz)
+    v = rng.standard_normal(nnz)
+    S = scipy.sparse.coo_matrix((v, (r, c)), shape=(m, n))
+    S.sum_duplicates()
+    p = tmp_path / "test.mtx"
+    scipy.io.mmwrite(str(p), S)
+    A = from_matrix_market(p)
+    x = rng.standard_normal(n)
+    np.testing.assert_allclose(np.asarray(A.matvec(jnp.asarray(x))), S @ x,
+                               rtol=1e-10)
+    b = rng.standard_normal(m)
+    res = lsqr(A, jnp.asarray(b), atol=1e-10, btol=1e-10)
+    ref = scipy.sparse.linalg.lsqr(S.tocsr(), b, atol=1e-10, btol=1e-10)
+    np.testing.assert_allclose(np.asarray(res.x), ref[0], atol=1e-7)
+
+    # dense array .mtx -> DenseOperator
+    D = rng.standard_normal((6, 4))
+    pd = tmp_path / "dense.mtx"
+    scipy.io.mmwrite(str(pd), D)
+    Ad = from_matrix_market(pd)
+    np.testing.assert_allclose(
+        np.asarray(Ad.matvec(jnp.ones(4))), D @ np.ones(4), rtol=1e-12
+    )
+
+    # complex rejected
+    pc = tmp_path / "cplx.mtx"
+    scipy.io.mmwrite(str(pc), (D + 1j * D).astype(np.complex128))
+    with pytest.raises(ValueError, match="complex"):
+        from_matrix_market(pc)
