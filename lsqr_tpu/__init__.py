@@ -38,7 +38,7 @@ from .ops.coo import COOOperator, coo_operator
 from .ops.linop import CallbackOperator, DenseOperator, LinearOperator, as_operator
 from .batch import cgls_batch, lsmr_batch, lsqr_batch
 from .implicit import lsqr_grad, normal_cg
-from .multidamp import lsqr_multidamp
+from .multidamp import lsmr_multidamp, lsqr_multidamp
 from .regpath import RegPath, discrepancy_damp, lcurve_corner, reg_sweep
 from .ops.interop import (auto_operator, csr_operator, from_matrix_market,
                           from_scipy, lsqr_scipy, lsmr_scipy)
@@ -99,6 +99,7 @@ __all__ = [
     "enable_x64",
     "lsqr_batch",
     "lsqr_multidamp",
+    "lsmr_multidamp",
     "RegPath",
     "reg_sweep",
     "discrepancy_damp",

@@ -44,7 +44,25 @@ from .ops.blas import d2norm, nrm2
 from .ops.linop import LinearOperator, as_operator
 from .solver import LSQRResult
 
-__all__ = ["lsqr_multidamp"]
+__all__ = ["lsqr_multidamp", "lsmr_multidamp"]
+
+
+def _row_nrm2(mat, *, safe: bool, axis_name=None):
+    """Row-wise Euclidean norms of a (k, n) array — the vectorized form of
+    :func:`lsqr_tpu.ops.blas.nrm2` (same per-row overflow-safe scaling)."""
+    if safe:
+        amax = jnp.max(jnp.abs(mat), axis=-1)
+        if axis_name is not None:
+            amax = jax.lax.pmax(amax, axis_name)
+        scale = jnp.where(amax > 0, amax, jnp.ones_like(amax))
+        ssq = jnp.sum(jnp.square(mat / scale[:, None]), axis=-1)
+        if axis_name is not None:
+            ssq = jax.lax.psum(ssq, axis_name)
+        return jnp.where(amax > 0, scale * jnp.sqrt(ssq), jnp.zeros_like(amax))
+    ssq = jnp.sum(jnp.square(mat), axis=-1)
+    if axis_name is not None:
+        ssq = jax.lax.psum(ssq, axis_name)
+    return jnp.sqrt(ssq)
 
 
 class _MDCarry(NamedTuple):
@@ -569,3 +587,388 @@ def lsqr_multidamp(
     if loop == "bounded":
         return _md_bounded(*args, seg_len=opts.loop_segment, **kwargs)
     return _md_jit(*args, **kwargs)
+
+
+# ======================================================================
+# LSMR multi-damp — same shared-bidiagonalization trick for the sibling
+# solver (Fong & Saunders 2011): damp enters LSMR only through the Phat
+# rotation (lsmr.py body_fun), so the k-damp sweep shares the two operator
+# products per iteration exactly like lsqr_multidamp.
+# ======================================================================
+
+from .lsmr import LSMRResult, _sym_ortho  # noqa: E402
+
+
+class _MDLSMRCarry(NamedTuple):
+    itn: jax.Array     #: scalar int32
+    u: jax.Array       #: (m,)
+    v: jax.Array       #: (n,)
+    alpha: jax.Array   #: scalar
+    beta: jax.Array    #: scalar
+    istop: jax.Array   #: (k,) int32
+    itn_d: jax.Array   #: (k,) int32
+    h: jax.Array       #: (k, n)
+    hbar: jax.Array    #: (k, n)
+    x: jax.Array       #: (k, n)
+    alphabar: jax.Array  # per-damp scalars, (k,)
+    rho: jax.Array
+    rhobar: jax.Array
+    cbar: jax.Array
+    sbar: jax.Array
+    zeta: jax.Array
+    zetabar: jax.Array
+    betadd: jax.Array
+    betad: jax.Array
+    rhodold: jax.Array
+    tautildeold: jax.Array
+    thetatilde: jax.Array
+    d: jax.Array
+    norma2: jax.Array
+    maxrbar: jax.Array
+    minrbar: jax.Array
+    normr: jax.Array
+    normar: jax.Array
+    norma: jax.Array
+    conda: jax.Array
+    normx: jax.Array
+
+
+def _build_lsmr_multidamp(
+    A: LinearOperator,
+    b: jax.Array,
+    damps: jax.Array,
+    atol: jax.Array,
+    btol: jax.Array,
+    conlim: jax.Array,
+    *,
+    itnlim: int,
+    safe_norms: bool,
+    pair: bool = False,
+):
+    m, n = A.shape
+    dtype = b.dtype
+    k = damps.shape[0]
+    zero = jnp.zeros((), dtype)
+    one = jnp.ones((), dtype)
+    ones_k = jnp.ones((k,), dtype)
+    zeros_k = jnp.zeros((k,), dtype)
+    axis_m = getattr(A, "axis_name_m", None)
+    axis_n = getattr(A, "axis_name_n", None)
+
+    def norm_m(vec):
+        return nrm2(vec, safe=safe_norms, axis_name=axis_m)
+
+    def norm_n(vec):
+        return nrm2(vec, safe=safe_norms, axis_name=axis_n)
+
+    ctol = jnp.where(conlim > zero, one / jnp.where(conlim > zero, conlim, one), zero)
+
+    normb = norm_m(b)
+    beta0 = normb
+    safe_beta0 = jnp.where(beta0 > zero, beta0, one)
+    u0 = jnp.where(beta0 > zero, b / safe_beta0, b)
+    n_local = A.local_n if hasattr(A, "local_n") else n
+    v0u = jnp.where(beta0 > zero, A.rmatvec(u0), jnp.zeros((n_local,), dtype))
+    alpha0 = jnp.where(beta0 > zero, norm_n(v0u), zero)
+    safe_alpha0 = jnp.where(alpha0 > zero, alpha0, one)
+    v0 = jnp.where(alpha0 > zero, v0u / safe_alpha0, v0u)
+    normar0 = alpha0 * beta0
+
+    carry0 = _MDLSMRCarry(
+        itn=jnp.zeros((), jnp.int32),
+        u=u0, v=v0, alpha=alpha0, beta=beta0,
+        istop=jnp.zeros((k,), jnp.int32),
+        itn_d=jnp.zeros((k,), jnp.int32),
+        h=jnp.broadcast_to(v0, (k,) + v0.shape),
+        hbar=jnp.zeros((k, n_local), dtype),
+        x=jnp.zeros((k, n_local), dtype),
+        alphabar=jnp.full((k,), alpha0, dtype),
+        rho=ones_k,
+        rhobar=ones_k,
+        cbar=ones_k,
+        sbar=zeros_k,
+        zeta=zeros_k,
+        zetabar=jnp.full((k,), alpha0 * beta0, dtype),
+        betadd=jnp.full((k,), beta0, dtype),
+        betad=zeros_k,
+        rhodold=ones_k,
+        tautildeold=zeros_k,
+        thetatilde=zeros_k,
+        d=zeros_k,
+        norma2=jnp.full((k,), alpha0 * alpha0, dtype),
+        maxrbar=zeros_k,
+        minrbar=jnp.full(
+            (k,), min(1e100, float(jnp.finfo(dtype).max) / 2), dtype
+        ),
+        normr=jnp.full((k,), beta0, dtype),
+        normar=jnp.full((k,), normar0, dtype),
+        norma=jnp.full((k,), jnp.sqrt(alpha0 * alpha0), dtype),
+        conda=ones_k,
+        normx=zeros_k,
+    )
+
+    def cond_fun(c: _MDLSMRCarry):
+        return jnp.logical_and(jnp.any(c.istop == 0), normar0 != zero)
+
+    def body_fun(c: _MDLSMRCarry) -> _MDLSMRCarry:
+        itn = c.itn + 1
+        active = c.istop == 0
+
+        # --- shared bidiagonalization step (identical to lsmr.py) --------
+        if pair:
+            u, z_adj = A.fused_pair(y=c.u, win=c.v, c1=one, c2=c.alpha)
+        else:
+            u = A.matvec(c.v) - c.alpha * c.u
+        beta = norm_m(u)
+        beta_pos = beta > zero
+        safe_beta = jnp.where(beta_pos, beta, one)
+        u = jnp.where(beta_pos, u / safe_beta, u)
+        if pair:
+            v_cand = jnp.where(beta_pos, z_adj / safe_beta, z_adj) - beta * c.v
+        else:
+            v_cand = A.rmatvec(u) - beta * c.v
+        alpha_cand = norm_n(v_cand)
+        alpha_pos = alpha_cand > zero
+        safe_alpha = jnp.where(alpha_pos, alpha_cand, one)
+        v_cand = jnp.where(alpha_pos, v_cand / safe_alpha, v_cand)
+        v = jnp.where(beta_pos, v_cand, c.v)
+        alpha = jnp.where(beta_pos, alpha_cand, c.alpha)
+
+        # --- per-damp rotations (all (k,); _sym_ortho is branchless) -----
+        chat, shat, alphahat = _sym_ortho(c.alphabar, damps, ones_k, zeros_k)
+
+        rhoold = c.rho
+        cgiv, sgiv, rho = _sym_ortho(alphahat, jnp.full((k,), beta, dtype),
+                                     ones_k, zeros_k)
+        thetanew = sgiv * alpha
+        alphabar = cgiv * alpha
+
+        rhobarold = c.rhobar
+        zetaold = c.zeta
+        thetabar = c.sbar * rho
+        rhotemp = c.cbar * rho
+        cbar, sbar, rhobar = _sym_ortho(c.cbar * rho, thetanew, ones_k, zeros_k)
+        zeta = cbar * c.zetabar
+        zetabar = -sbar * c.zetabar
+
+        # --- per-damp h, hbar, x (k, n) ----------------------------------
+        hbar = c.h - (thetabar * rho / (rhoold * rhobarold))[:, None] * c.hbar
+        x = c.x + (zeta / (rho * rhobar))[:, None] * hbar
+        h = v[None, :] - (thetanew / rho)[:, None] * c.h
+
+        # --- ||r|| estimate ----------------------------------------------
+        betaacute = chat * c.betadd
+        betacheck = -shat * c.betadd
+        betahat = cgiv * betaacute
+        betadd = -sgiv * betaacute
+        thetatildeold = c.thetatilde
+        ctildeold, stildeold, rhotildeold = _sym_ortho(
+            c.rhodold, thetabar, ones_k, zeros_k
+        )
+        thetatilde = stildeold * rhobar
+        rhodold = ctildeold * rhobar
+        betad = -stildeold * c.betad + ctildeold * betahat
+        tautildeold = (zetaold - thetatildeold * c.tautildeold) / rhotildeold
+        taud = (zeta - thetatilde * tautildeold) / rhodold
+        d = c.d + betacheck * betacheck
+        normr = jnp.sqrt(d + jnp.square(betad - taud) + betadd * betadd)
+
+        # --- ||A||, cond(A) estimates --------------------------------------
+        norma2 = c.norma2 + beta * beta
+        norma = jnp.sqrt(norma2)
+        norma2 = norma2 + alpha * alpha
+        maxrbar = jnp.maximum(c.maxrbar, rhobarold)
+        minrbar = jnp.where(
+            itn > 1, jnp.minimum(c.minrbar, rhobarold), c.minrbar
+        )
+        conda = jnp.maximum(maxrbar, rhotemp) / jnp.minimum(minrbar, rhotemp)
+
+        # --- convergence tests ---------------------------------------------
+        normar = jnp.abs(zetabar)
+        normx = _row_nrm2(x, safe=safe_norms, axis_name=axis_n)
+        safe_normb = jnp.where(normb > zero, normb, one)
+        test1 = normr / safe_normb
+        denom2 = norma * normr
+        test2 = jnp.where(
+            denom2 > zero, normar / jnp.where(denom2 > zero, denom2, ones_k),
+            jnp.full((k,), jnp.inf, dtype),
+        )
+        test3 = one / conda
+        t1 = test1 / (one + norma * normx / safe_normb)
+        rtol = btol + atol * norma * normx / safe_normb
+
+        istop = jnp.zeros((k,), jnp.int32)
+        istop = jnp.where(itn >= itnlim, 7, istop)
+        istop = jnp.where(one + test3 <= one, 6, istop)
+        istop = jnp.where(one + test2 <= one, 5, istop)
+        istop = jnp.where(one + t1 <= one, 4, istop)
+        istop = jnp.where(test3 <= ctol, 3, istop)
+        istop = jnp.where(test2 <= atol, 2, istop)
+        istop = jnp.where(test1 <= rtol, 1, istop)
+
+        am = active[:, None]
+
+        def sel(new, old):
+            return jnp.where(active, new, old)
+
+        return _MDLSMRCarry(
+            itn=itn, u=u, v=v, alpha=alpha, beta=beta,
+            istop=sel(istop, c.istop),
+            itn_d=jnp.where(active, itn, c.itn_d),
+            h=jnp.where(am, h, c.h),
+            hbar=jnp.where(am, hbar, c.hbar),
+            x=jnp.where(am, x, c.x),
+            alphabar=sel(alphabar, c.alphabar),
+            rho=sel(rho, c.rho),
+            rhobar=sel(rhobar, c.rhobar),
+            cbar=sel(cbar, c.cbar),
+            sbar=sel(sbar, c.sbar),
+            zeta=sel(zeta, c.zeta),
+            zetabar=sel(zetabar, c.zetabar),
+            betadd=sel(betadd, c.betadd),
+            betad=sel(betad, c.betad),
+            rhodold=sel(rhodold, c.rhodold),
+            tautildeold=sel(tautildeold, c.tautildeold),
+            thetatilde=sel(thetatilde, c.thetatilde),
+            d=sel(d, c.d),
+            norma2=sel(norma2, c.norma2),
+            maxrbar=sel(maxrbar, c.maxrbar),
+            minrbar=sel(minrbar, c.minrbar),
+            normr=sel(normr, c.normr),
+            normar=sel(normar, c.normar),
+            norma=sel(norma, c.norma),
+            conda=sel(conda, c.conda),
+            normx=sel(normx, c.normx),
+        )
+
+    def finalize(final: _MDLSMRCarry) -> LSMRResult:
+        return LSMRResult(
+            x=final.x,
+            istop=final.istop,
+            itn=final.itn_d,
+            normr=final.normr,
+            normar=final.normar,
+            norma=final.norma,
+            conda=final.conda,
+            normx=final.normx,
+            trace=None,
+        )
+
+    return carry0, cond_fun, body_fun, finalize
+
+
+def _mdl_impl(A, b, damps, atol, btol, conlim, **static_opts):
+    carry0, cond_fun, body_fun, finalize = _build_lsmr_multidamp(
+        A, b, damps, atol, btol, conlim, **static_opts
+    )
+    final = jax.lax.while_loop(cond_fun, body_fun, carry0)
+    return finalize(final)
+
+
+_mdl_jit = jax.jit(
+    _mdl_impl, static_argnames=("itnlim", "safe_norms", "pair")
+)
+
+
+@partial(jax.jit, static_argnames=("seg_len", "itnlim", "safe_norms", "pair"))
+def _mdl_segment(A, b, damps, atol, btol, conlim, carry, *, seg_len, **static_opts):
+    carry0, cond_fun, body_fun, _ = _build_lsmr_multidamp(
+        A, b, damps, atol, btol, conlim, **static_opts
+    )
+    carry = carry if carry is not None else carry0
+    return jax.lax.fori_loop(
+        0, seg_len, _md_masked_body(cond_fun, body_fun), carry, unroll=False
+    )
+
+
+@partial(jax.jit, static_argnames=("itnlim", "safe_norms", "pair"))
+def _mdl_finalize(A, b, damps, atol, btol, conlim, carry, **static_opts):
+    _, _, _, finalize = _build_lsmr_multidamp(
+        A, b, damps, atol, btol, conlim, **static_opts
+    )
+    return finalize(carry)
+
+
+def _mdl_bounded(A, b, damps, atol, btol, conlim, *, seg_len, itnlim, **static_opts):
+    carry = None
+    kwargs = dict(itnlim=itnlim, **static_opts)
+    while True:
+        prev_itn = int(carry.itn) if carry is not None else -1
+        carry = _mdl_segment(
+            A, b, damps, atol, btol, conlim, carry,
+            seg_len=min(seg_len, itnlim) if itnlim > 0 else seg_len,
+            **kwargs,
+        )
+        if bool((carry.istop != 0).all()) or int(carry.itn) >= itnlim:
+            break
+        if int(carry.itn) == prev_itn:
+            break
+    return _mdl_finalize(A, b, damps, atol, btol, conlim, carry, **kwargs)
+
+
+def lsmr_multidamp(
+    A,
+    b,
+    damps,
+    *,
+    atol: float = 1e-6,
+    btol: float = 1e-6,
+    conlim: float = 1e8,
+    itnlim: Optional[int] = None,
+    safe_norms: bool = True,
+    loop: Optional[str] = None,
+    loop_segment: int = 64,
+    pair: Optional[bool] = None,
+    m: Optional[int] = None,
+    n: Optional[int] = None,
+) -> LSMRResult:
+    """LSMR over a vector of damp values from ONE shared bidiagonalization.
+
+    The LSMR analogue of :func:`lsqr_multidamp` (same argument conventions
+    and defaults as :func:`lsqr_tpu.lsmr`): damp enters LSMR only through
+    the Phat plane rotation, so the two operator products per iteration are
+    shared by all k damps. Each damp's result equals a standalone
+    :func:`lsqr_tpu.lsmr` run with that damp.
+
+    Returns an :class:`LSMRResult` with a leading (k,) axis on every field
+    (``x`` is (k, n)); ``trace`` is None.
+    """
+    A = as_operator(A, m=m, n=n)
+    b = jnp.asarray(b)
+    dtype = b.dtype
+    if not jnp.issubdtype(dtype, jnp.floating):
+        from .config import default_dtype
+
+        dtype = default_dtype()
+        b = b.astype(dtype)
+    damps = jnp.atleast_1d(jnp.asarray(damps, dtype))
+    if damps.ndim != 1 or damps.shape[0] == 0:
+        raise ValueError("damps must be a non-empty 1-D array of damping values")
+    if b.ndim != 1 or (getattr(A, "axis_name_m", None) is None and b.shape[0] != A.m):
+        raise ValueError(
+            f"b must be a vector of length m = {A.m}; got shape {b.shape}"
+        )
+    if itnlim is None:
+        gm = int(getattr(A, "global_m", A.m))
+        gn = int(getattr(A, "global_n", A.n))
+        itnlim = min(gm, gn)
+    if pair is None:
+        pair = bool(getattr(A, "prefers_pair", False))
+    if pair and not hasattr(A, "fused_pair"):
+        raise ValueError(
+            f"{type(A).__name__} does not implement fused_pair; set pair=False"
+        )
+    kwargs = dict(itnlim=int(itnlim), safe_norms=safe_norms, pair=pair)
+    args = (
+        A,
+        b,
+        damps,
+        jnp.asarray(atol, dtype),
+        jnp.asarray(btol, dtype),
+        jnp.asarray(conlim, dtype),
+    )
+    if loop is None:
+        loop = "bounded" if getattr(A, "prefers_bounded_loop", False) else "while"
+    if loop == "bounded":
+        return _mdl_bounded(*args, seg_len=loop_segment, **kwargs)
+    return _mdl_jit(*args, **kwargs)

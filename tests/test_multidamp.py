@@ -119,3 +119,72 @@ def test_scalar_damps_promoted(rng):
     assert res.x.shape == (1, A.n)
     single = lsqr(A, b, 0.5, atol=1e-10, btol=1e-10)
     np.testing.assert_allclose(res.x[0], single.x, rtol=1e-12)
+
+
+# ---------------------------------------------------------------------------
+# lsmr_multidamp
+# ---------------------------------------------------------------------------
+
+def test_lsmr_multidamp_matches_sequential(rng):
+    from lsqr_tpu import lsmr, lsmr_multidamp
+
+    A, b = _dense_problem(rng)
+    res = lsmr_multidamp(A, b, DAMPS, atol=1e-12, btol=1e-12)
+    assert res.x.shape == (len(DAMPS), A.n)
+    for j, damp in enumerate(DAMPS):
+        single = lsmr(A, b, damp, atol=1e-12, btol=1e-12)
+        assert int(res.istop[j]) == int(single.istop), f"damp={damp}"
+        assert int(res.itn[j]) == int(single.itn), f"damp={damp}"
+        np.testing.assert_allclose(res.x[j], single.x, rtol=1e-12, atol=1e-14)
+        for field in ("normr", "normar", "norma", "conda", "normx"):
+            np.testing.assert_allclose(
+                np.asarray(getattr(res, field))[j],
+                np.asarray(getattr(single, field)),
+                rtol=1e-10, err_msg=f"{field} damp={damp}",
+            )
+
+
+def test_lsmr_multidamp_vs_scipy(rng):
+    import scipy.sparse.linalg
+
+    from lsqr_tpu import lsmr_multidamp
+
+    A, b = _dense_problem(rng, m=70, n=50)
+    damps = [0.0, 1e-3, 0.3]
+    res = lsmr_multidamp(A, b, damps, atol=1e-10, btol=1e-10)
+    for j, damp in enumerate(damps):
+        ref = scipy.sparse.linalg.lsmr(
+            np.asarray(A.a), np.asarray(b), damp=damp, atol=1e-10, btol=1e-10
+        )
+        assert int(res.istop[j]) == ref[1]
+        assert int(res.itn[j]) == ref[2]
+        np.testing.assert_allclose(res.x[j], ref[0], rtol=1e-8, atol=1e-10)
+
+
+def test_lsmr_multidamp_bounded_matches(rng):
+    from lsqr_tpu import lsmr_multidamp
+
+    A, b = _dense_problem(rng)
+    res_w = lsmr_multidamp(A, b, DAMPS, atol=1e-9, btol=1e-9)
+    res_b = lsmr_multidamp(A, b, DAMPS, atol=1e-9, btol=1e-9,
+                           loop="bounded", loop_segment=5)
+    np.testing.assert_array_equal(np.asarray(res_w.istop), np.asarray(res_b.istop))
+    np.testing.assert_array_equal(np.asarray(res_w.itn), np.asarray(res_b.itn))
+    np.testing.assert_allclose(res_w.x, res_b.x, rtol=1e-13)
+
+
+def test_lsmr_multidamp_dia_pair(rng):
+    from lsqr_tpu import lsmr, lsmr_multidamp
+
+    m = n = 96
+    offsets = (-2, 0, 3)
+    data = jnp.asarray(rng.standard_normal((len(offsets), n)), jnp.float32)
+    A = dia_operator(m, n, offsets, data)
+    b = jnp.asarray(rng.standard_normal((m,)), jnp.float32)
+    damps = [0.0, 0.5]
+    res = lsmr_multidamp(A, b, damps, atol=1e-5, btol=1e-5)
+    for j, damp in enumerate(damps):
+        single = lsmr(A, b, damp, atol=1e-5, btol=1e-5)
+        assert int(res.istop[j]) == int(single.istop)
+        assert int(res.itn[j]) == int(single.itn)
+        np.testing.assert_allclose(res.x[j], single.x, rtol=2e-5, atol=2e-6)
