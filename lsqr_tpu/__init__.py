@@ -39,7 +39,8 @@ from .ops.linop import CallbackOperator, DenseOperator, LinearOperator, as_opera
 from .batch import cgls_batch, lsmr_batch, lsqr_batch
 from .implicit import lsqr_grad, normal_cg
 from .multidamp import lsmr_multidamp, lsqr_multidamp
-from .regpath import RegPath, discrepancy_damp, lcurve_corner, reg_sweep
+from .regpath import (RegPath, discrepancy_damp, gcv_damp,
+                      lcurve_corner, reg_sweep)
 from .ops.interop import (auto_operator, csr_operator, from_matrix_market,
                           from_scipy, lsqr_scipy, lsmr_scipy)
 from .ops.megakernel import lsqr_megakernel, megakernel_supported
@@ -103,6 +104,7 @@ __all__ = [
     "RegPath",
     "reg_sweep",
     "discrepancy_damp",
+    "gcv_damp",
     "lcurve_corner",
     "from_scipy",
     "from_matrix_market",

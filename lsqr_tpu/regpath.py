@@ -35,7 +35,9 @@ from .multidamp import lsqr_multidamp
 from .ops.linop import as_operator
 from .solver import LSQRResult
 
-__all__ = ["RegPath", "reg_sweep", "discrepancy_damp", "lcurve_corner"]
+__all__ = [
+    "RegPath", "reg_sweep", "discrepancy_damp", "lcurve_corner", "gcv_damp",
+]
 
 
 class RegPath(NamedTuple):
@@ -176,3 +178,54 @@ def lcurve_corner(path: RegPath) -> tuple[jax.Array, jax.Array, jax.Array]:
     idx = order[i_sorted]
     curv = jnp.full_like(kappa, -jnp.inf).at[order].set(kappa)
     return path.damps[idx], path.x[idx], curv
+
+
+def gcv_damp(
+    A,
+    b,
+    *,
+    damps=None,
+    num: int = 16,
+    probes: int = 1,
+    key=None,
+    options: Optional[LSQROptions] = None,
+    **option_overrides,
+) -> tuple[jax.Array, jax.Array, RegPath, jax.Array]:
+    """Generalized cross-validation (Golub-Heath-Wahba 1979) on a damp grid.
+
+    Minimizes  GCV(damp) = m * ||b - A x_damp||^2 / trace(I - H_damp)^2
+    where H_damp = A (A'A + damp^2 I)^-1 A' is the influence matrix. The
+    trace is estimated stochastically (Hutchinson): for a Rademacher probe
+    w,  trace(H) ~ w' A y_w  with  y_w = (A'A + damp^2 I)^-1 A' w — i.e.
+    y_w is exactly the damped LSQR solution with right-hand side w. So the
+    whole GCV curve costs (1 + probes) multi-damp sweeps, each of which is
+    ONE shared bidiagonalization (no noise-level knowledge needed, unlike
+    :func:`discrepancy_damp`).
+
+    Returns ``(damp, x, path, gcv_values)`` — gcv_values aligned with
+    ``path.damps``.
+    """
+    A = as_operator(A)
+    b = jnp.asarray(b)
+    path = reg_sweep(
+        A, b, damps, num=num, options=options, **option_overrides
+    )
+    damps_arr = path.damps
+    m = int(getattr(A, "global_m", A.m))
+    if key is None:
+        key = jax.random.PRNGKey(0)
+    trace_h = jnp.zeros((damps_arr.shape[0],), path.residual_norm.dtype)
+    for p in range(probes):
+        key, sub = jax.random.split(key)
+        w = jax.random.rademacher(sub, (A.m,), dtype=b.dtype)
+        probe = lsqr_multidamp(
+            A, w, damps_arr, options=options, **option_overrides
+        )
+        # w' A y_w per damp; A applied to the (k, n) solutions via vmap so
+        # structured operators keep their fast product path
+        ay = jax.vmap(A.matvec)(probe.x)
+        trace_h = trace_h + ay @ w / probes
+    denom = jnp.maximum(m - trace_h, jnp.finfo(trace_h.dtype).tiny)
+    gcv = m * jnp.square(path.residual_norm) / jnp.square(denom)
+    idx = jnp.argmin(gcv)
+    return path.damps[idx], path.x[idx], path, gcv

@@ -99,3 +99,21 @@ def test_lcurve_corner_needs_grid(rng):
     path = reg_sweep(A, b, jnp.asarray([1e-3, 1e-2]), atol=1e-10, btol=1e-10)
     with pytest.raises(ValueError, match="at least 3"):
         lcurve_corner(path)
+
+
+def test_gcv_damp_regularizes(rng):
+    from lsqr_tpu.regpath import gcv_damp
+
+    A, b, x_true, noise = _ill_posed_problem(rng, m=120, n=50, noise=1e-2)
+    damp, x, path, gcv = gcv_damp(
+        A, b, damps=jnp.logspace(-6, 0, 15), probes=2,
+        atol=1e-12, btol=1e-12,
+    )
+    assert gcv.shape == path.damps.shape
+    assert float(damp) == float(path.damps[int(np.argmin(np.asarray(gcv)))])
+    err = lambda xx: np.linalg.norm(np.asarray(xx) - x_true)
+    # GCV must land within 10x of the oracle-best grid point and far
+    # below the unregularized end
+    errs = np.asarray([err(path.x[j]) for j in range(path.x.shape[0])])
+    assert err(x) <= 10 * errs.min()
+    assert err(x) < 0.2 * err(path.x[0])
