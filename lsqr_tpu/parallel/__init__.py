@@ -14,6 +14,7 @@ from .sharding import (
     lsmr_sharded_2d,
     craig_sharded,
     lsmr_sharded,
+    lsqr_multidamp_sharded,
     lsqr_sharded,
     lsqr_sharded_2d,
     lsqr_sharded_dia,
@@ -26,6 +27,7 @@ __all__ = [
     "make_mesh",
     "shard_coo",
     "ShardedCOO",
+    "lsqr_multidamp_sharded",
     "lsqr_sharded",
     "lsqr_sharded_dia",
     "lsqr_sharded_2d",

@@ -493,6 +493,147 @@ def lsqr_sharded_dia(
     )
 
 
+def lsqr_multidamp_sharded(
+    A,
+    b,
+    damps,
+    *,
+    mesh: Optional[Mesh] = None,
+    axis_name: str = "rows",
+    options: Optional[LSQROptions] = None,
+    **option_overrides,
+):
+    """Row-partitioned distributed multi-damp solve: the whole damp grid
+    from ONE shared bidiagonalization (see :func:`lsqr_tpu.lsqr_multidamp`)
+    with A row-partitioned across the mesh. Per iteration: the same two
+    collectives as :func:`lsqr_sharded` (one psum for the transpose
+    product, one for the u-norm) serve every damp value.
+
+    ``A``: a COOOperator/ShardedCOO (general sparsity) or a DIAOperator
+    (banded rows; pair mode via ``options.pair``). Returns an
+    :class:`LSQRResult` with a leading (k,) axis, replicated on all devices.
+    """
+    from ..multidamp import _md_impl
+    from ..ops.structured import DIAOperator
+
+    opts = options or LSQROptions()
+    if option_overrides:
+        opts = opts.replace(**option_overrides)
+    if opts.record_trace or opts.debug_log:
+        raise ValueError("record_trace/debug_log are not supported by "
+                         "the multi-damp solvers")
+    mesh = mesh if mesh is not None else make_mesh(axis_name=axis_name)
+    ndev = mesh.shape[axis_name]
+
+    md_kw = dict(
+        wantse=opts.wantse,
+        nconv=opts.nconv,
+        safe_norms=opts.safe_norms,
+        scalar_dtype=(str(jnp.dtype(opts.scalar_dtype))
+                      if opts.scalar_dtype is not None else None),
+    )
+
+    if isinstance(A, DIAOperator):
+        m, n = A.m, A.n
+        data_s, row0s, b_pad, rpd, m_pad, dtype = _prep_dia_shards(
+            A, b, mesh, axis_name, dtype=opts.dtype
+        )
+        damps = jnp.atleast_1d(jnp.asarray(damps, dtype))
+        md_kw.update(itnlim=opts.resolve_itnlim(n), pair=bool(opts.pair))
+        offsets = A.offsets
+
+        @partial(
+            jax.shard_map,
+            mesh=mesh,
+            in_specs=(P(axis_name), P(axis_name), P(axis_name),
+                      P(), P(), P(), P()),
+            out_specs=P(),
+            check_vma=False,
+        )
+        def run_dia(data_l, row0_l, b_local, damps_, atol_, btol_, conlim_):
+            op = _LocalDIAShard(
+                data=data_l[0].astype(dtype),
+                row0=row0_l[0],
+                m=rpd,
+                n=n,
+                offsets=offsets,
+                axis=axis_name,
+                global_m=m,
+                global_m_pad=m_pad,
+            )
+            return _md_impl(
+                op, b_local.reshape(-1), damps_, atol_, btol_, conlim_, **md_kw
+            )
+
+        return jax.jit(run_dia)(*_globalize(
+            mesh, data_s, row0s, b_pad, damps,
+            jnp.asarray(opts.atol, dtype),
+            jnp.asarray(opts.btol, dtype),
+            jnp.asarray(opts.conlim, dtype),
+        ))
+
+    if isinstance(A, COOOperator):
+        sharded = shard_coo(A, ndev)
+    elif isinstance(A, ShardedCOO):
+        sharded = A
+        if sharded.ndev != ndev:
+            raise ValueError(
+                f"ShardedCOO was built for {sharded.ndev} devices, mesh has {ndev}"
+            )
+    else:
+        raise TypeError(
+            "lsqr_multidamp_sharded expects a COOOperator/ShardedCOO or a "
+            "DIAOperator"
+        )
+    dtype = opts.dtype or jnp.result_type(jnp.asarray(b).dtype, sharded.vals.dtype)
+    if not jnp.issubdtype(dtype, jnp.floating):
+        from ..config import default_dtype
+
+        dtype = default_dtype()
+    b = jnp.asarray(b, dtype)
+    if b.shape != (sharded.m,):
+        raise ValueError(f"b must have shape ({sharded.m},), got {b.shape}")
+    b_pad = jnp.zeros((sharded.m_pad,), dtype).at[: sharded.m].set(b)
+    damps = jnp.atleast_1d(jnp.asarray(damps, dtype))
+    md_kw.update(itnlim=opts.resolve_itnlim(sharded.n), pair=False)
+    rpd = sharded.m_pad // ndev
+    n = sharded.n
+
+    @partial(
+        jax.shard_map,
+        mesh=mesh,
+        in_specs=(P(axis_name), P(axis_name), P(axis_name), P(axis_name),
+                  P(), P(), P(), P()),
+        out_specs=P(),
+        check_vma=False,
+    )
+    def run(vals_s, rows_s, cols_s, b_local, damps_, atol_, btol_, conlim_):
+        op = _LocalRowShard(
+            vals=vals_s[0],
+            rows=rows_s[0],
+            cols=cols_s[0],
+            m=rpd,
+            n=n,
+            axis=axis_name,
+            global_m=sharded.m,
+        )
+        return _md_impl(
+            op, b_local.reshape(-1), damps_, atol_, btol_, conlim_, **md_kw
+        )
+
+    return jax.jit(run)(*_globalize(
+        mesh,
+        sharded.vals.astype(dtype),
+        sharded.rows,
+        sharded.cols,
+        b_pad,
+        damps,
+        jnp.asarray(opts.atol, dtype),
+        jnp.asarray(opts.btol, dtype),
+        jnp.asarray(opts.conlim, dtype),
+    ))
+
+
 def _prep_dia_shards(A, b, mesh, axis_name, dtype=None):
     """Per-device stripe slices + padded b for
     a row-partitioned DIA operator (the plumbing of lsqr_sharded_dia,

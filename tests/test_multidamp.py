@@ -188,3 +188,76 @@ def test_lsmr_multidamp_dia_pair(rng):
         assert int(res.istop[j]) == int(single.istop)
         assert int(res.itn[j]) == int(single.itn)
         np.testing.assert_allclose(res.x[j], single.x, rtol=2e-5, atol=2e-6)
+
+
+# ---------------------------------------------------------------------------
+# distributed multi-damp
+# ---------------------------------------------------------------------------
+
+def test_multidamp_sharded_coo_matches_unsharded(rng):
+    from lsqr_tpu.ops.coo import coo_operator
+    from lsqr_tpu.parallel import lsqr_multidamp_sharded, make_mesh
+
+    m, n, nnz = 260, 150, 1500  # 260 % 8 = 4 -> ragged shards
+    rows = rng.integers(0, m, nnz)
+    cols = rng.integers(0, n, nnz)
+    vals = rng.standard_normal(nnz)
+    A = coo_operator(m, n, vals, rows, cols)
+    b = jnp.asarray(rng.standard_normal(m))
+    damps = [0.0, 1e-3, 0.7]
+    mesh = make_mesh(8)
+    # matched iteration counts (itnlim-bound, tolerances off): the sharded
+    # segment-sum reduction order shifts stopping-test rounding by an
+    # iteration otherwise (same methodology as test_sharding.py)
+    kw = dict(atol=1e-30, btol=1e-30, itnlim=60)
+    res_s = lsqr_multidamp_sharded(A, b, damps, mesh=mesh, **kw)
+    from lsqr_tpu import lsqr_multidamp
+    res_u = lsqr_multidamp(A, b, damps, **kw)
+    np.testing.assert_array_equal(np.asarray(res_s.itn), np.asarray(res_u.itn))
+    # the sharded segment-sum reduces in a different order; 60 undamped
+    # iterations accumulate ~1e-6 relative divergence between the runs
+    np.testing.assert_allclose(res_s.x, res_u.x, rtol=1e-5, atol=1e-8)
+
+
+def test_multidamp_sharded_dia_matches_unsharded(rng):
+    from lsqr_tpu.parallel import lsqr_multidamp_sharded, make_mesh
+
+    m = n = 260  # ragged: 260 % 8 = 4
+    offsets = (-1, 0, 2)
+    data = rng.standard_normal((len(offsets), m))
+    data[1] += 4.0  # diagonal dominance bounds the conditioning, so the
+    A = dia_operator(m, n, offsets, jnp.asarray(data), use_pallas=False)
+    b = jnp.asarray(rng.standard_normal(m))  # comparison is rounding-tight
+    damps = [0.0, 0.3]
+    mesh = make_mesh(8)
+    kw = dict(atol=1e-10, btol=1e-10, wantse=True)
+    res_s = lsqr_multidamp_sharded(A, b, damps, mesh=mesh, **kw)
+    from lsqr_tpu import lsqr_multidamp
+    res_u = lsqr_multidamp(A, b, damps, **kw)
+    np.testing.assert_array_equal(np.asarray(res_s.istop), np.asarray(res_u.istop))
+    np.testing.assert_array_equal(np.asarray(res_s.itn), np.asarray(res_u.itn))
+    np.testing.assert_allclose(res_s.x, res_u.x, rtol=1e-7, atol=1e-11)
+    # se scales with the FINAL rnorm, which is rounding-noise here (the
+    # system is nearly consistent: rnorm ~ 1e-9 undamped); exact se parity
+    # vs the single-damp solver is pinned by test_wantse_matches
+    np.testing.assert_allclose(res_s.se, res_u.se, rtol=1e-2, atol=1e-10)
+
+
+def test_multidamp_sharded_dia_pair_mode(rng):
+    from lsqr_tpu.parallel import lsqr_multidamp_sharded, make_mesh
+
+    m = n = 256
+    offsets = (-1, 0, 2)
+    data = rng.standard_normal((len(offsets), m)).astype(np.float32)
+    data[1] += 4.0  # bounded conditioning (see the test above)
+    A = dia_operator(m, n, offsets, jnp.asarray(data), use_pallas=False)
+    b = jnp.asarray(rng.standard_normal(m), jnp.float32)
+    damps = [0.0, 0.3]
+    mesh = make_mesh(4)
+    res_p = lsqr_multidamp_sharded(A, b, damps, mesh=mesh, pair=True,
+                                   atol=1e-5, btol=1e-5)
+    res_n = lsqr_multidamp_sharded(A, b, damps, mesh=mesh,
+                                   atol=1e-5, btol=1e-5)
+    np.testing.assert_array_equal(np.asarray(res_p.istop), np.asarray(res_n.istop))
+    # f32 + different product rounding between the two modes
+    np.testing.assert_allclose(res_p.x, res_n.x, rtol=5e-3, atol=5e-5)
