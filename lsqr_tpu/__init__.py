@@ -37,6 +37,8 @@ from .ops.compose import (
 from .ops.coo import COOOperator, coo_operator
 from .ops.linop import CallbackOperator, DenseOperator, LinearOperator, as_operator
 from .batch import cgls_batch, lsmr_batch, lsqr_batch
+from .hybrid import (GKBasis, HybridResult, gcv_lambda, golub_kahan,
+                     hybrid_lsqr, projected_tikhonov)
 from .implicit import lsqr_grad, normal_cg
 from .multidamp import lsmr_multidamp, lsqr_multidamp
 from .regpath import (RegPath, discrepancy_damp, gcv_damp,
@@ -101,6 +103,12 @@ __all__ = [
     "lsqr_batch",
     "lsqr_multidamp",
     "lsmr_multidamp",
+    "GKBasis",
+    "HybridResult",
+    "golub_kahan",
+    "hybrid_lsqr",
+    "projected_tikhonov",
+    "gcv_lambda",
     "RegPath",
     "reg_sweep",
     "discrepancy_damp",
