@@ -21,6 +21,7 @@ EXAMPLES = pathlib.Path(__file__).resolve().parent.parent / "examples"
         "01_readme_3x3.py",
         "02_damped_least_squares.py",
         "06_solver_family.py",
+        "13_hybrid_regularization.py",
     ],
 )
 def test_example_runs(name, capsys):
