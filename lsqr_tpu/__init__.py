@@ -40,6 +40,8 @@ from .batch import cgls_batch, lsmr_batch, lsqr_batch
 from .hybrid import (GKBasis, HybridResult, gcv_lambda, golub_kahan,
                      hybrid_lsqr, projected_tikhonov)
 from .implicit import lsqr_grad, normal_cg
+from .randomized import (LSRNResult, lsrn, lsrn_preconditioner, sketch_left,
+                         sketch_right)
 from .multidamp import lsmr_multidamp, lsqr_multidamp
 from .regpath import (RegPath, discrepancy_damp, gcv_damp,
                       lcurve_corner, reg_sweep)
@@ -109,6 +111,11 @@ __all__ = [
     "hybrid_lsqr",
     "projected_tikhonov",
     "gcv_lambda",
+    "LSRNResult",
+    "lsrn",
+    "lsrn_preconditioner",
+    "sketch_left",
+    "sketch_right",
     "RegPath",
     "reg_sweep",
     "discrepancy_damp",
