@@ -42,6 +42,8 @@ from .hybrid import (GKBasis, HybridResult, gcv_lambda, golub_kahan,
 from .implicit import lsqr_grad, normal_cg
 from .randomized import (LSRNResult, lsrn, lsrn_preconditioner, sketch_left,
                          sketch_right)
+from .refine import RefineResult, lsqr_refined
+from .ops.host import host_coo, host_products, to_scipy
 from .multidamp import lsmr_multidamp, lsqr_multidamp
 from .regpath import (RegPath, discrepancy_damp, gcv_damp,
                       lcurve_corner, reg_sweep)
@@ -116,6 +118,11 @@ __all__ = [
     "lsrn_preconditioner",
     "sketch_left",
     "sketch_right",
+    "RefineResult",
+    "lsqr_refined",
+    "host_coo",
+    "host_products",
+    "to_scipy",
     "RegPath",
     "reg_sweep",
     "discrepancy_damp",

@@ -49,6 +49,8 @@ CGLS_ISTOP_MESSAGES = {
     4: "The search direction broke down (delta == 0): x is optimal to "
        "working precision",
     5: "The iteration limit has been reached",
+    6: "The recurrence diverged past the working-precision noise floor; "
+       "x is the best iterate seen (smallest optimality residual)",
 }
 
 
@@ -77,6 +79,9 @@ class _Carry(NamedTuple):
     rnorm: jax.Array    # sqrt(||r||² + damp² ||x||²), computed directly
     ar: jax.Array       # A'r, maintained by recurrence (pair mode only;
     #                     a (1,) placeholder otherwise)
+    gmin: jax.Array     # smallest gamma seen (noise-floor divergence guard)
+    xbest: jax.Array    # iterate at gmin
+    rbest: jax.Array    # rnorm at gmin
 
 
 def _build(
@@ -129,6 +134,9 @@ def _build(
         # pair mode maintains A'r by the exact recurrence A'r_{k+1} =
         # A'r_k - alpha_k (A'q_k); seeded with s_0 = A'b (x_0 = 0)
         ar=s0 if pair else jnp.zeros((1,), dtype),
+        gmin=gamma0,
+        xbest=jnp.zeros((n_local,), dtype),
+        rbest=bnorm,
     )
 
     def cond_fun(c: _Carry):
@@ -191,20 +199,41 @@ def _build(
         istop = jnp.where(test2 <= atol, 2, istop)
         istop = jnp.where(test1 <= rtol, 1, istop)
 
+        # Noise-floor divergence guard: past convergence the CG recurrence
+        # has no self-correction (unlike LSQR's rotations) — gamma collapses
+        # to noise, beta = gamma_new/gamma_old explodes, p overflows, and
+        # the iterate diverges through finite-but-huge steps before any
+        # inf/NaN appears. Track the best iterate by the optimality
+        # residual gamma = ||A'r - damp^2 x||^2 and stop (istop 6) when
+        # gamma climbs 8 orders of magnitude past its minimum (CG gamma is
+        # not monotone, but 1e8 growth is definitive divergence); finalize
+        # then returns the BEST iterate, not the diverged one.
+        better = gamma < c.gmin
+        gmin = jnp.where(better, gamma, c.gmin)
+        xbest = jnp.where(better, x, c.xbest)
+        rbest = jnp.where(better, rnorm, c.rbest)
+        finite = (jnp.isfinite(delta) & jnp.isfinite(gamma)
+                  & jnp.isfinite(rnorm))
+        diverged = (~finite) | (gamma > 1e8 * gmin)
+        istop = jnp.where(diverged, 6, istop)
+
         return _Carry(
             itn=itn, istop=istop, x=x, r=r, p=p, gamma=gamma,
             anorm=anorm, rnorm=rnorm, ar=ar,
+            gmin=gmin, xbest=xbest, rbest=rbest,
         )
 
     def finalize(final: _Carry) -> CGLSResult:
+        diverged = final.istop == 6
+        x = jnp.where(diverged, final.xbest, final.x)
         return CGLSResult(
-            x=final.x,
+            x=x,
             istop=final.istop,
             itn=final.itn,
-            rnorm=final.rnorm,
-            arnorm=jnp.sqrt(final.gamma),
+            rnorm=jnp.where(diverged, final.rbest, final.rnorm),
+            arnorm=jnp.sqrt(jnp.where(diverged, final.gmin, final.gamma)),
             anorm=final.anorm,
-            xnorm=nrm2(final.x, safe=safe_norms),
+            xnorm=nrm2(x, safe=safe_norms),
         )
 
     return carry0, cond_fun, body_fun, finalize
@@ -295,6 +324,13 @@ def cgls(
         raise ValueError(
             f"b must be a vector of length m = {A.m}; got shape {b.shape}"
         )
+
+    # zero tolerances mean machine precision (the reference's semantics,
+    # lsqr.f90:509-512); literal 0.0 would leave only the 1+t<=1 guards,
+    # which f32 noise can hover just above
+    eps = float(jnp.finfo(dtype).eps)
+    atol = eps if atol == 0 else atol
+    btol = eps if btol == 0 else btol
 
     if x0 is not None:
         x0 = jnp.asarray(x0, dtype)

@@ -462,6 +462,12 @@ def lsmr(
             f"b must be a vector of length m = {A.m}; got shape {b.shape}"
         )
 
+    # zero tolerances mean machine precision (the reference's semantics,
+    # lsqr.f90:509-512), as in lsqr/cgls
+    eps = float(jnp.finfo(dtype).eps)
+    atol = eps if atol == 0 else atol
+    btol = eps if btol == 0 else btol
+
     if megakernel is not False and _jit and not isinstance(b, jax.core.Tracer):
         from .ops.megakernel_lsmr import (
             lsmr_megakernel,
