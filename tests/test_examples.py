@@ -22,6 +22,7 @@ EXAMPLES = pathlib.Path(__file__).resolve().parent.parent / "examples"
         "02_damped_least_squares.py",
         "06_solver_family.py",
         "13_hybrid_regularization.py",
+        "15_mixed_precision_refinement.py",
     ],
 )
 def test_example_runs(name, capsys):
