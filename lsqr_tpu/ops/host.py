@@ -97,6 +97,12 @@ def host_coo(A, *, dtype=np.float64, dense_limit: int = 1 << 25):
         keep = (vals != 0) & (rows < A.m) & (cols < A.n)
         return rows[keep], cols[keep], vals[keep]
 
+    from .linop import _TransposedOperator
+
+    if isinstance(A, _TransposedOperator):
+        r, c, v = host_coo(A.op, dtype=dtype, dense_limit=dense_limit)
+        return c, r, v
+
     jdia = _try_jdia_coo(A, dtype)
     if jdia is not None:
         return jdia

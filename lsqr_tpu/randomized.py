@@ -43,7 +43,7 @@ from .ops.linop import DenseOperator, LinearOperator, as_operator
 from .ops.precondition import ComposedOperator
 
 __all__ = ["LSRNResult", "lsrn", "lsrn_preconditioner", "sketch_left",
-           "sketch_right"]
+           "sketch_right", "svd_truncated_preconditioner"]
 
 
 def _chunked_rows(fn, vecs: jax.Array, chunk: int) -> jax.Array:
@@ -115,13 +115,20 @@ def lsrn_preconditioner(
                          "use lsrn() which handles both orientations")
     s = int(np.ceil(gamma * A.n))
     S = np.asarray(sketch_left(A, s, seed=seed, chunk=chunk))
+    N, r = svd_truncated_preconditioner(S, rcond=rcond)
+    root = np.sqrt(r / s)
+    return jnp.asarray(N, A.dtype), r, float((1 + root) / (1 - root))
+
+
+def svd_truncated_preconditioner(S, rcond: Optional[float] = None):
+    """``N = V diag(1/sig)`` from a sketch matrix ``S``: host SVD +
+    rcond truncation (numpy.linalg.pinv's heuristic by default). Shared
+    by the f32 device sketch here and refine's f64 host sketch."""
     _, sig, Vt = np.linalg.svd(S, full_matrices=False)
     if rcond is None:
         rcond = max(S.shape) * np.finfo(S.dtype).eps
     r = int(np.sum(sig > rcond * sig[0]))
-    N = Vt[:r].T / sig[:r]
-    root = np.sqrt(r / s)
-    return jnp.asarray(N, A.dtype), r, float((1 + root) / (1 - root))
+    return Vt[:r].T / sig[:r], r
 
 
 def lsrn(

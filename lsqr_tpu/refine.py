@@ -78,7 +78,11 @@ class RefineResult(NamedTuple):
     preconditioned: bool   #: inner solves used the LSRN preconditioner
 
 
-def _inner_fn(solver: str):
+def _inner_fn(solver):
+    if callable(solver):
+        # custom inner solver: any (A, b, damp, **kwargs) -> result with a
+        # .x field (e.g. a sharded solver, or a partial with extra options)
+        return solver
     if solver == "lsqr":
         from .solver import lsqr as inner
     elif solver == "lsmr":
@@ -129,8 +133,9 @@ def lsqr_refined(
         :func:`lsqr_tpu.ops.host.host_products` (requires an operator with
         explicit storage, or ``A.m * A.n <= dense_limit``).
       precondition: 'auto' (switch inner solves to LSRN when the outer
-        contraction stalls; m >= n only), 'lsrn' (precondition from cycle
-        1), or None/False (never).
+        contraction stalls; applies when m >= n, or for any shape when
+        damp > 0 — the stacked [A; damp I] is tall), 'lsrn' (precondition
+        from cycle 1), or None/False (never).
       gamma / seed: LSRN sketch parameters (see
         :func:`lsqr_tpu.randomized.lsrn_preconditioner`).
       inner_kwargs: forwarded to the inner solver (atol/btol default 0 =
@@ -156,7 +161,10 @@ def lsqr_refined(
         host_matvec = host_matvec or hmv
         host_rmatvec = host_rmatvec or hrmv
 
-    wdtype = np.dtype(getattr(A, "dtype", np.float32))
+    _adt = getattr(A, "dtype", None)
+    # CallbackOperator has dtype=None (np.dtype(None) would silently mean
+    # f64): default to the f32 device working precision
+    wdtype = np.dtype(_adt) if _adt is not None else np.dtype(np.float32)
     if damp != 0.0:
         from .ops.compose import diagonal_operator, vstack_operators
 
@@ -169,7 +177,7 @@ def lsqr_refined(
     # --- preconditioner state -------------------------------------------
     # B = S @ N with cond(B) <~ 3 (LSRN); N64 maps inner solutions back.
     want_pre = precondition in ("lsrn", True)
-    auto_pre = precondition == "auto" and A.m >= A.n
+    auto_pre = precondition == "auto" and (A.m >= A.n or damp != 0.0)
     B = N64 = None
 
     def build_preconditioner():
@@ -182,16 +190,20 @@ def lsqr_refined(
         from .ops.linop import DenseOperator
         from .ops.precondition import ComposedOperator
 
+        from .randomized import svd_truncated_preconditioner
+
         s_rows = int(np.ceil(gamma * A.n))
         rng = np.random.default_rng(seed)
         M = S.m
+        # cap each Gaussian chunk at ~200 MB of f64 (m can be 1e7+)
+        chunk_rows = max(1, min(256, 25_000_000 // max(M, 1)))
         sk = np.empty((s_rows, A.n), np.float64)
         try:
             from .ops.host import to_scipy
 
             ShT = to_scipy(S, dense_limit=dense_limit).T.tocsr()
-            for lo in range(0, s_rows, 256):
-                hi = min(lo + 256, s_rows)
+            for lo in range(0, s_rows, chunk_rows):
+                hi = min(lo + chunk_rows, s_rows)
                 G = rng.standard_normal((hi - lo, M))
                 sk[lo:hi] = (ShT @ G.T).T
         except NotImplementedError:
@@ -203,19 +215,17 @@ def lsqr_refined(
                 if damp != 0.0:
                     row = row + damp * g[A.m:]
                 sk[i] = row
-        _, sig, Vt = np.linalg.svd(sk, full_matrices=False)
-        rc = max(sk.shape) * np.finfo(np.float64).eps
-        r = int(np.sum(sig > rc * sig[0]))
-        N64 = Vt[:r].T / sig[:r]
+        N64, _r = svd_truncated_preconditioner(sk)
         B = ComposedOperator(outer=S,
                              inner=DenseOperator(jnp.asarray(N64, wdtype)))
 
     if want_pre:
-        if A.m < A.n:
+        if A.m < A.n and damp == 0.0:
             raise ValueError(
-                "precondition='lsrn' requires m >= n (the under-determined "
-                "LSRN form preconditions from the left, which refinement "
-                "does not use); pass precondition=None"
+                "precondition='lsrn' requires m >= n or damp > 0 (the "
+                "undamped under-determined LSRN form preconditions from "
+                "the left, which refinement does not use); pass "
+                "precondition=None"
             )
         build_preconditioner()
 
@@ -230,10 +240,16 @@ def lsqr_refined(
             gw = -(N64.T @ g) if B is not None else -g
             op_t = (B if B is not None else S).T
             # the w-solve is a structural sub-problem (under-determined,
-            # compatible): always LSQR — CGLS's unguarded recurrence can
-            # diverge past convergence there (observed xnorm -> inf in f32)
-            from .solver import lsqr as _aux
-
+            # compatible). A callable solver handles it (it may carry
+            # mesh/sharding context the stock solvers lack); of the stock
+            # solvers, CGLS is swapped for LSQR here — its unguarded
+            # recurrence diverges past convergence on this shape (istop 6)
+            if callable(solver):
+                _aux = inner
+            elif solver == "cgls":
+                from .solver import lsqr as _aux
+            else:
+                _aux = inner
             res_w = _aux(op_t, jnp.asarray(gw.astype(wdtype)), 0.0,
                          **inner_kwargs)
             res_list.append(res_w)
@@ -269,9 +285,12 @@ def lsqr_refined(
         converged = stagnated = False
         prev_dx = np.inf
         ncycles = 0
+        best = None  # (rnorm, x) — same divergence guard as the main branch
         for _ in range(cycles):
             f = b64 - host_matvec(x)
             rnorms.append(float(np.linalg.norm(f)))
+            if best is None or rnorms[-1] < best[0]:
+                best = (rnorms[-1], x)
             res_v = inner(A, jnp.asarray(f.astype(wdtype)), 0.0,
                           **inner_kwargs)
             res_z = inner(A.T, res_v.x, 0.0, **inner_kwargs)
@@ -291,7 +310,12 @@ def lsqr_refined(
                 break
             prev_dx = ndx
         f = b64 - host_matvec(x)
-        rnorms.append(float(np.linalg.norm(f)))
+        final = float(np.linalg.norm(f))
+        if best is not None and best[0] < final:
+            _, x = best
+            f = b64 - host_matvec(x)
+            final = float(np.linalg.norm(f))
+        rnorms.append(final)
         return RefineResult(
             x=x, r=f, results=tuple(results), cycles=ncycles,
             dx_norms=np.asarray(dx_norms), rnorms=np.asarray(rnorms),

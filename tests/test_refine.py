@@ -281,3 +281,67 @@ def test_refined_graceful_beyond_f32_range():
     assert ref.rnorms[-1] <= np.linalg.norm(b) * (1 + 1e-12)
     np.testing.assert_allclose(
         np.linalg.norm(b - a64 @ ref.x), ref.rnorms[-1], rtol=1e-10)
+
+
+def test_refined_callable_inner_solver():
+    # a custom inner solver (e.g. a sharded or wrapped one) plugs in as a
+    # callable with the (A, b, damp, **kwargs) -> result-with-.x contract
+    calls = []
+
+    def my_solver(A, b, damp, **kw):
+        calls.append(A.shape)
+        return lt.lsqr(A, b, damp, **kw)
+
+    m, n = 80, 30
+    a32 = _ill_conditioned(m, n, 50.0, seed=19)
+    b = np.random.default_rng(20).standard_normal(m)
+    x_star, *_ = np.linalg.lstsq(a32.astype(np.float64), b, rcond=None)
+    ref = lsqr_refined(lt.DenseOperator(jnp.asarray(a32)), b,
+                       cycles=6, solver=my_solver)
+    assert calls  # the callable actually ran
+    assert np.linalg.norm(ref.x - x_star) < 1e-12 * np.linalg.norm(x_star)
+
+
+def test_to_scipy_transposed_operator():
+    m, n = 25, 14
+    rows, cols, vals = _sparse_coo(m, n, 90, seed=22)
+    A = lt.coo_operator(m, n, vals, rows, cols)
+    # sparse export of A.T must NOT fall to the dense path
+    back = host_coo(A.T, dense_limit=1)
+    dense_t = to_scipy(A).toarray().T
+    got = np.zeros((n, m))
+    np.add.at(got, (back[0], back[1]), back[2])
+    np.testing.assert_allclose(got, dense_t)
+
+
+def test_refined_damped_underdetermined_with_lsrn():
+    # damp > 0 makes the stacked operator tall: explicit lsrn
+    # preconditioning must be accepted even for m < n
+    m, n, damp = 40, 90, 0.5
+    rng = np.random.default_rng(23)
+    a32 = rng.standard_normal((m, n)).astype(np.float32)
+    b = rng.standard_normal(m)
+    a64 = a32.astype(np.float64)
+    x_star = np.linalg.solve(a64.T @ a64 + damp**2 * np.eye(n), a64.T @ b)
+    ref = lsqr_refined(lt.DenseOperator(jnp.asarray(a32)), b, damp,
+                       cycles=8, precondition="lsrn")
+    assert ref.preconditioned
+    assert np.linalg.norm(ref.x - x_star) < 1e-11 * np.linalg.norm(x_star)
+
+
+def test_refined_callback_operator_stays_f32():
+    # CallbackOperator has dtype=None: the working precision must default
+    # to f32 (np.dtype(None) would silently be f64)
+    m, n = 50, 20
+    a32 = _ill_conditioned(m, n, 10.0, seed=24)
+    aj = jnp.asarray(a32)
+    b = np.random.default_rng(25).standard_normal(m)
+    x_star, *_ = np.linalg.lstsq(a32.astype(np.float64), b, rcond=None)
+    a64 = a32.astype(np.float64)
+    ref = lsqr_refined(
+        (lambda x: aj @ x, lambda y: aj.T @ y), b, m=m, n=n,
+        host_matvec=lambda x: a64 @ x, host_rmatvec=lambda y: a64.T @ y,
+        cycles=6,
+    )
+    assert ref.results[0].x.dtype == jnp.float32
+    assert np.linalg.norm(ref.x - x_star) < 1e-12 * np.linalg.norm(x_star)
