@@ -42,9 +42,13 @@ incompatible problems — the augmented form is what removes that term.)
 accuracy of the f32 inner solves, roughly eps_f32 * cond(A): beyond
 cond ~ 1e5 the plain scheme stops contracting. ``precondition='auto'``
 (default) detects that and switches the inner solves to the LSRN
-preconditioner (:mod:`lsqr_tpu.randomized`): with cond(A N) <~ 3 the
-contraction is ~1e-6 per cycle REGARDLESS of cond(A), so 2-3 cycles
-reach 1e-12 even at cond(A) = 1e8 — all at f32 speed on the device.
+preconditioner: sketched in f64 on the host and, when the (m, rank)
+product fits, FOLDED to ``B = fl32(A N)`` so even the composed product's
+eps32 * cond noise disappears — measured ~1e-13 at cond 1e4, ~1e-11 at
+1e6 and ~3e-10 at 1e8 (docs/precision.md), all at f32 device speed.
+Passing f64 ``host_matvec``/``host_rmatvec`` closures over unrounded
+data makes the refinement converge to the F64 problem's solution (the
+device still only stores f32) — the full x64-emulation replacement.
 
 Cost per cycle: 1-2 ordinary f32 device solves (all fast paths apply:
 DIA/JDIA Pallas kernels, bounded loop, sharding) + two host f64 SpMVs
@@ -154,6 +158,11 @@ def lsqr_refined(
     inner_kwargs.setdefault("atol", 0.0)
     inner_kwargs.setdefault("btol", 0.0)
 
+    # user-provided closures define the TRUTH matrix the refinement
+    # converges to (it may be the f64 original the f32 device operator was
+    # rounded from — then the answer is the f64 problem's solution); when
+    # absent, the truth IS the stored matrix, exported once
+    user_host = host_matvec is not None or host_rmatvec is not None
     if host_matvec is None or host_rmatvec is None:
         from .ops.host import host_products
 
@@ -181,15 +190,14 @@ def lsqr_refined(
     B = N64 = None
 
     def build_preconditioner():
-        # LSRN sketch + SVD, but in f64 ON THE HOST: an f32 device sketch
-        # (randomized.lsrn_preconditioner) carries eps_f32-level noise that
-        # buries exactly the small singular directions refinement exists to
-        # recover (and its rcond truncation would cut them outright for
-        # cond(A) > ~1e5)
+        # LSRN sketch + SVD, but in f64 ON THE HOST and from the TRUTH
+        # source: an f32 device sketch (randomized.lsrn_preconditioner)
+        # carries eps_f32-level noise that buries exactly the small
+        # singular directions refinement exists to recover (and its rcond
+        # truncation would cut them outright for cond(A) > ~1e5)
         nonlocal B, N64
         from .ops.linop import DenseOperator
         from .ops.precondition import ComposedOperator
-
         from .randomized import svd_truncated_preconditioner
 
         s_rows = int(np.ceil(gamma * A.n))
@@ -198,26 +206,56 @@ def lsqr_refined(
         # cap each Gaussian chunk at ~200 MB of f64 (m can be 1e7+)
         chunk_rows = max(1, min(256, 25_000_000 // max(M, 1)))
         sk = np.empty((s_rows, A.n), np.float64)
-        try:
-            from .ops.host import to_scipy
 
-            ShT = to_scipy(S, dense_limit=dense_limit).T.tocsr()
+        def s_rmv(y):
+            if damp == 0.0:
+                return host_rmatvec(y)
+            return host_rmatvec(y[: A.m]) + damp * y[A.m:]
+
+        def s_mv(x):
+            ax = host_matvec(x)
+            if damp == 0.0:
+                return ax
+            return np.concatenate([ax, damp * x])
+
+        Sh = None
+        if not user_host:
+            try:
+                from .ops.host import to_scipy
+
+                Sh = to_scipy(S, dense_limit=dense_limit)
+            except NotImplementedError:
+                Sh = None
+        if Sh is not None:
+            ShT = Sh.T.tocsr()
             for lo in range(0, s_rows, chunk_rows):
                 hi = min(lo + chunk_rows, s_rows)
                 G = rng.standard_normal((hi - lo, M))
                 sk[lo:hi] = (ShT @ G.T).T
-        except NotImplementedError:
-            # callback operators: sketch row i = (S' g_i)' via the host
-            # closures (damp folds in as the stacked identity block)
+        else:
+            # truth via the host closures: sketch row i = (S' g_i)'
             for i in range(s_rows):
-                g = rng.standard_normal(M)
-                row = host_rmatvec(g if damp == 0.0 else g[: A.m])
-                if damp != 0.0:
-                    row = row + damp * g[A.m:]
-                sk[i] = row
-        N64, _r = svd_truncated_preconditioner(sk)
-        B = ComposedOperator(outer=S,
-                             inner=DenseOperator(jnp.asarray(N64, wdtype)))
+                sk[i] = s_rmv(rng.standard_normal(M))
+        N64, r = svd_truncated_preconditioner(sk)
+        if M * r <= (1 << 28):
+            # FOLD the preconditioner: B = fl32(S N) computed in f64 on the
+            # host. Composing S @ N on the device costs eps32 * ||S|| * ||N||
+            # = eps32 * cond(S) of product noise (the intermediate N dy has
+            # the full dynamic range), which stalls the contraction beyond
+            # cond ~1e7; the folded product rounds ONCE at ||S N|| ~ 1 scale,
+            # so the inner solve stays eps32-accurate at ANY cond(S). Only
+            # when the (M, r) dense folded matrix would be too large does the
+            # composed form remain.
+            if Sh is not None:
+                Bh = Sh @ N64
+            else:
+                Bh = np.empty((M, r), np.float64)
+                for j in range(r):
+                    Bh[:, j] = s_mv(N64[:, j])
+            B = DenseOperator(jnp.asarray(Bh, wdtype))
+        else:
+            B = ComposedOperator(outer=S,
+                                 inner=DenseOperator(jnp.asarray(N64, wdtype)))
 
     if want_pre:
         if A.m < A.n and damp == 0.0:

@@ -214,15 +214,17 @@ def test_refined_minnorm_underdetermined():
     assert np.linalg.norm(ref.x - x_star) < 1e-12 * np.linalg.norm(x_star)
 
 
-@pytest.mark.parametrize("solver", ["lsmr", "cgls"])
-def test_refined_inner_solver_siblings(solver):
+@pytest.mark.parametrize("solver,rtol", [("lsmr", 1e-9), ("cgls", 1e-6)])
+def test_refined_inner_solver_siblings(solver, rtol):
+    # CGLS gets a looser bound: its inner solves stop at a higher noise
+    # floor than the rotation-based LSQR/LSMR (documented trade-off)
     m, n = 150, 50
     a32 = _ill_conditioned(m, n, 1e3, seed=12)
     b = np.random.default_rng(13).standard_normal(m)
     x_star, *_ = np.linalg.lstsq(a32.astype(np.float64), b, rcond=None)
     ref = lsqr_refined(lt.DenseOperator(jnp.asarray(a32)), b,
                        cycles=12, solver=solver)
-    assert np.linalg.norm(ref.x - x_star) < 1e-9 * np.linalg.norm(x_star)
+    assert np.linalg.norm(ref.x - x_star) < rtol * np.linalg.norm(x_star)
 
 
 def test_refined_sparse_operator_host_residual():
@@ -345,3 +347,26 @@ def test_refined_callback_operator_stays_f32():
     )
     assert ref.results[0].x.dtype == jnp.float32
     assert np.linalg.norm(ref.x - x_star) < 1e-12 * np.linalg.norm(x_star)
+
+
+def test_refined_f64_truth_beyond_f32_representation():
+    # user-provided f64 host closures define the TRUTH: the device only
+    # ever sees the f32 rounding, yet refinement converges to the f64
+    # problem's solution — at cond 1e6 the f32-rounded matrix's own LS
+    # solution differs from the f64 one at ~1e-2 relative, so this
+    # capability is not reachable by any pure-f32 computation
+    m, n, cond = 300, 80, 1e6
+    a64 = _ill_conditioned(m, n, cond, seed=26, dtype=np.float64)
+    a32 = a64.astype(np.float32)
+    b = np.random.default_rng(27).standard_normal(m)
+    x64, *_ = np.linalg.lstsq(a64, b, rcond=None)
+    x32, *_ = np.linalg.lstsq(a32.astype(np.float64), b, rcond=None)
+    gap = np.linalg.norm(x32 - x64) / np.linalg.norm(x64)
+    assert gap > 1e-4  # representation error is material at this cond
+
+    ref = lsqr_refined(lt.DenseOperator(jnp.asarray(a32)), b, cycles=14,
+                       host_matvec=lambda x: a64 @ x,
+                       host_rmatvec=lambda y: a64.T @ y)
+    err = np.linalg.norm(ref.x - x64) / np.linalg.norm(x64)
+    assert err < 1e-9
+    assert err < 1e-4 * gap
