@@ -370,3 +370,28 @@ def test_refined_f64_truth_beyond_f32_representation():
     err = np.linalg.norm(ref.x - x64) / np.linalg.norm(x64)
     assert err < 1e-9
     assert err < 1e-4 * gap
+
+
+def test_refined_with_sharded_inner_solver():
+    # distributed refinement: the callable inner solver routes every
+    # correction through the row-partitioned mesh solve (8 CPU devices),
+    # and the f64 host loop is oblivious to the sharding
+    from lsqr_tpu.ops.linop import _TransposedOperator
+    from lsqr_tpu.parallel import lsqr_sharded
+
+    m, n, nnz = 96, 40, 600
+    rows, cols, vals = _sparse_coo(m, n, nnz, seed=30)
+    A = lt.coo_operator(m, n, vals, rows, cols)
+    b = np.random.default_rng(31).standard_normal(m)
+    dense = to_scipy(A).toarray()
+    x_star, *_ = np.linalg.lstsq(dense, b, rcond=None)
+
+    def sharded_inner(S, rhs, damp_, **kw):
+        if isinstance(S, _TransposedOperator):
+            op = S.op
+            S = lt.coo_operator(op.n, op.m, op.vals, op.cols, op.rows)
+        return lsqr_sharded(S, rhs, damp_, **kw)
+
+    ref = lsqr_refined(A, b, cycles=8, solver=sharded_inner,
+                       precondition=None)
+    assert np.linalg.norm(ref.x - x_star) < 1e-11 * np.linalg.norm(x_star)
