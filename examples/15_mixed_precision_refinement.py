@@ -57,3 +57,19 @@ refd = lt.lsqr_refined(A, b, damp, cycles=8)
 errd = float(np.linalg.norm(refd.x - xd) / np.linalg.norm(xd))
 print(f"damped refined   cycles={refd.cycles}   rel.err={errd:.2e}")
 assert errd < 1e-11
+
+# TRUTH MODE: when the f64 original of the data exists, pass it as host
+# closures — the device still only stores f32, but the refined answer is
+# the F64 problem's solution (beyond anything pure f32 can reach: at this
+# conditioning the f32-rounded matrix's own LS solution already differs
+# from the f64 one measurably)
+a64 = (U * sig) @ V.T                       # the unrounded data
+x64, *_ = np.linalg.lstsq(a64, b, rcond=None)
+rep_gap = float(np.linalg.norm(x_star - x64) / np.linalg.norm(x64))
+reft = lt.lsqr_refined(A, b, cycles=12,
+                       host_matvec=lambda x: a64 @ x,
+                       host_rmatvec=lambda y: a64.T @ y)
+errt = float(np.linalg.norm(reft.x - x64) / np.linalg.norm(x64))
+print(f"f64-truth mode   cycles={reft.cycles}   rel.err vs f64 solution="
+      f"{errt:.2e}   (f32 representation gap was {rep_gap:.2e})")
+assert errt < 1e-9
