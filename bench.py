@@ -8,34 +8,66 @@ Prints ONE JSON line:
   {"metric": ..., "value": N, "unit": "Gnnz/s", "vs_baseline": N}
 
 Matrix: banded (11 diagonals), m = n = 8M => 88M nnz, f32, DIA storage on
-TPU (Pallas double-buffered streaming kernel) vs scipy CSR on the host CPU.
+TPU (Pallas fused product-pair kernel / double-buffered streaming kernels)
+vs scipy CSR on the host CPU.
+
+Robustness (learned round 2, where the run was killed by the driver's
+timeout before the JSON line printed, BENCH_r02.json rc=124): the entire
+TPU section runs in a CHILD process with a hard wall-clock budget; the
+parent kills the child's process group on expiry and prints the JSON line
+from whatever stages completed. A wedged relay compile path or a degraded
+link can therefore cost at most TPU_BUDGET_S seconds, never the round's
+benchmark record.
 
 Methodology notes (see BENCHMARKS.md):
 - data is generated ON DEVICE (host->device bulk transfer is slow through
   the axon relay);
 - timing chains K data-dependent product pairs inside one jit and fetches a
-  scalar (block_until_ready does not synchronize through the relay).
+  scalar (block_until_ready does not synchronize through the relay);
+- a degraded relay state (~70-90 GB/s elementwise vs ~380-400 healthy) hits
+  jit elementwise chains ~5x but the Pallas DIA streaming kernels only
+  ~10-15%, so a degraded reading mostly flags attribution; the health GB/s
+  is reported in the JSON either way.
 """
 
 from __future__ import annotations
 
 import json
+import os
+import signal
+import subprocess
 import sys
 import time
-
-import numpy as np
 
 M = 8_000_000
 NDIAG = 11
 OFFSETS = tuple(range(-(NDIAG // 2), NDIAG // 2 + 1))
+NNZ = NDIAG * M
+
+# Hard wall-clock budgets. The driver's own timeout killed round 2's run;
+# stay comfortably inside plausible driver limits. The relay wedges
+# INTERMITTENTLY (measured 2026-08-19: the identical first device op
+# completes in 5s or hangs >300s, alternating unpredictably), so the parent
+# makes several shorter attempts rather than one long one — a retry usually
+# lands in a working window.
+TPU_TOTAL_BUDGET_S = int(os.environ.get("LSQR_BENCH_TPU_BUDGET_S", "450"))
+TPU_ATTEMPT_BUDGET_S = int(os.environ.get("LSQR_BENCH_TPU_ATTEMPT_S", "170"))
+TPU_MAX_ATTEMPTS = 3
 
 
-def relay_present(wait_s=900.0, poll_s=30.0):
+# --------------------------------------------------------------------------
+# TPU child stages. Each prints one '@stage {json}' line as soon as it has a
+# number, so the parent keeps partial results even if a later stage wedges.
+# --------------------------------------------------------------------------
+
+def _emit(stage, **kv):
+    print("@stage " + json.dumps({"stage": stage, **kv}), flush=True)
+
+
+def relay_present(wait_s=45.0):
     """The axon tunnel is an orchestrator-spawned child listening on
     127.0.0.1:8082-8117; when it is ABSENT every jax call (even
-    jax.devices()) hangs forever — so gate on the PORT, not on jax
-    (measured 2026-08-18: hours-long 'wedge' was simply no listener).
-    Polls up to ``wait_s`` for the tunnel to appear."""
+    jax.devices()) hangs forever — gate on the PORT, not on jax."""
     import socket
 
     deadline = time.monotonic() + wait_s
@@ -48,22 +80,12 @@ def relay_present(wait_s=900.0, poll_s=30.0):
                 pass
         if time.monotonic() > deadline:
             return False
-        print("relay_present: no tunnel listener yet; waiting",
-              file=sys.stderr, flush=True)
-        time.sleep(poll_s)
+        time.sleep(5)
 
 
-def relay_health(iters=10, wait_healthy_s=300.0, poll_s=60.0):
-    """Chained 128MB elementwise bandwidth — the relay/chip occasionally
-    enters a degraded state (~70 GB/s vs ~380-400 healthy; BENCHMARKS.md
-    methodology). A degraded reading says nothing about the kernels, so
-    poll (up to ``wait_healthy_s``) for recovery before measuring; if it
-    never recovers, proceed anyway and report the health reading in the
-    JSON so the headline number is attributable. (Measured 2026-08-17:
-    the degraded state hits this jit elementwise chain ~5x but the Pallas
-    DIA streaming kernels only ~10-15% — so a degraded reading mostly
-    flags attribution, not an unusable measurement; the poll is kept
-    short accordingly.)"""
+def relay_health(iters=10):
+    """Single-shot chained 128MB elementwise bandwidth reading (no recovery
+    polling — the budget belongs to the kernel measurements)."""
     import jax
     import jax.numpy as jnp
 
@@ -76,63 +98,21 @@ def relay_health(iters=10, wait_healthy_s=300.0, poll_s=60.0):
         return jax.lax.fori_loop(0, iters, body, x)
 
     float(jnp.sum(chain(x)))  # compile + warm
-
-    def measure():
-        t0 = time.perf_counter()
-        float(jnp.sum(chain(x)))
-        dt = (time.perf_counter() - t0) / iters
-        return 2 * x.size * 4 / dt / 1e9
-
-    deadline = time.monotonic() + wait_healthy_s
-    while True:
-        gbs = measure()
-        healthy = gbs > 300
-        print(f"relay_health: elementwise {gbs:.0f} GB/s "
-              f"({'OK' if healthy else 'DEGRADED — numbers not representative'})",
-              file=sys.stderr, flush=True)
-        if healthy or time.monotonic() > deadline:
-            return gbs
-        time.sleep(poll_s)
-
-
-def bench_tpu(iters=30):
-    import jax
-    import jax.numpy as jnp
-
-    from lsqr_tpu.ops.structured import dia_operator_device
-
-    nnz = NDIAG * M
-    key = jax.random.PRNGKey(0)
-
-    @jax.jit
-    def run(key):
-        data = jax.random.normal(key, (NDIAG, M), jnp.float32)
-        A = dia_operator_device(M, M, OFFSETS, data)
-
-        def body(i, x):
-            y = A.matvec(x)
-            z = A.rmatvec(y)
-            return z * 1e-9
-
-        x = jax.lax.fori_loop(0, iters, body, jnp.ones((M,), jnp.float32))
-        return jnp.sum(x)
-
-    float(run(key))  # compile + warm
     t0 = time.perf_counter()
-    float(run(key))  # host fetch forces completion through the relay
-    return nnz, (time.perf_counter() - t0) / iters
+    float(jnp.sum(chain(x)))
+    dt = (time.perf_counter() - t0) / iters
+    return 2 * x.size * 4 / dt / 1e9
 
 
 def bench_tpu_pair(iters=30):
-    """The fused product-pair kernel (ops/pallas_spmv.dia_pair): the same
-    matvec+rmatvec pair per step, computed in ONE pass over the stripes —
+    """The fused product-pair kernel (ops/pallas_spmv.dia_pair): the
+    matvec+rmatvec pair per step computed in ONE pass over the stripes —
     stripe HBM traffic is half of the separate-kernels path."""
     import jax
     import jax.numpy as jnp
 
     from lsqr_tpu.ops.pallas_spmv import dia_pair
 
-    nnz = NDIAG * M
     key = jax.random.PRNGKey(0)
 
     @jax.jit
@@ -148,13 +128,74 @@ def bench_tpu_pair(iters=30):
 
     float(run(key))  # compile + warm
     t0 = time.perf_counter()
-    float(run(key))
-    return nnz, (time.perf_counter() - t0) / iters
+    float(run(key))  # host fetch forces completion through the relay
+    return (time.perf_counter() - t0) / iters
 
+
+def bench_tpu_separate(iters=30):
+    import jax
+    import jax.numpy as jnp
+
+    from lsqr_tpu.ops.structured import dia_operator_device
+
+    key = jax.random.PRNGKey(0)
+
+    @jax.jit
+    def run(key):
+        data = jax.random.normal(key, (NDIAG, M), jnp.float32)
+        A = dia_operator_device(M, M, OFFSETS, data)
+
+        def body(i, x):
+            y = A.matvec(x)
+            z = A.rmatvec(y)
+            return z * 1e-9
+
+        x = jax.lax.fori_loop(0, iters, body, jnp.ones((M,), jnp.float32))
+        return jnp.sum(x)
+
+    float(run(key))
+    t0 = time.perf_counter()
+    float(run(key))
+    return (time.perf_counter() - t0) / iters
+
+
+def child_main(done):
+    """Runs on the TPU; parent enforces the wall-clock budget. ``done`` is
+    the set of stage names already measured by a previous attempt."""
+    if not relay_present(wait_s=30.0):
+        _emit("error", error="axon tunnel absent (no listener on 8082+)")
+        return 0
+    if "health" not in done:
+        try:
+            gbs = relay_health()
+            _emit("health", gbs=round(gbs))
+        except Exception as e:
+            _emit("error", error=f"health: {type(e).__name__}: {e}"[:200])
+            return 0
+    # Headline stage first so a later wedge cannot erase it.
+    if "pair" not in done:
+        try:
+            dt = bench_tpu_pair()
+            _emit("pair", gnnz=round(2 * NNZ / dt / 1e9, 2))
+        except Exception as e:
+            _emit("error", error=f"pair: {type(e).__name__}: {e}"[:200])
+    if "separate" not in done:
+        try:
+            dt = bench_tpu_separate()
+            _emit("separate", gnnz=round(2 * NNZ / dt / 1e9, 2))
+        except Exception as e:
+            _emit("error", error=f"separate: {type(e).__name__}: {e}"[:200])
+    return 0
+
+
+# --------------------------------------------------------------------------
+# Parent: CPU baseline + child supervision + the single JSON line.
+# --------------------------------------------------------------------------
 
 def bench_cpu_serial(iters=4):
     """scipy CSR products on the host CPU — the serial compiled-code
     baseline standing in for the Fortran reference's aprod loops."""
+    import numpy as np
     import scipy.sparse
 
     rng = np.random.default_rng(0)
@@ -169,62 +210,140 @@ def bench_cpu_serial(iters=4):
         y = S @ x
         x = (St @ y) * np.float32(1e-9)
     dt_pair = (time.perf_counter() - t0) / iters
-    return nnz, dt_pair
+    return 2 * nnz / dt_pair / 1e9
 
 
-def main():
-    # Watchdog: a wedged relay compile helper hangs remote compiles
-    # INDEFINITELY (observed 2026-08-17: one failed compile wedged every
-    # subsequent compile for hours). A hang here would record nothing for
-    # the round — bound the whole TPU section and report honestly instead.
-    import signal
+def _ingest(out, stages, errors):
+    for line in out.decode(errors="replace").splitlines():
+        if not line.startswith("@stage "):
+            continue
+        rec = json.loads(line[len("@stage "):])
+        if rec["stage"] == "error":
+            errors.append(rec["error"])
+        else:
+            stages[rec["stage"]] = rec
 
-    class _Timeout(Exception):
-        pass
 
-    def _alarm(signum, frame):
-        raise _Timeout()
-
-    signal.signal(signal.SIGALRM, _alarm)
-    error = None
-    relay_gbs = 0.0
-    gnnz_sep = 0.0
-    gnnz_pair = 0.0
+def _run_attempt(done, budget_s, stages, errors):
+    env = dict(os.environ)
+    orig = env.pop("_LSQR_BENCH_ORIG_PLATFORMS", "")
+    env.pop("_LSQR_BENCH_REEXEC", None)
+    if orig:
+        env["JAX_PLATFORMS"] = orig
+    else:
+        env.pop("JAX_PLATFORMS", None)
+    pool = env.pop("_LSQR_BENCH_ORIG_POOL_IPS", "")
+    if pool:
+        env["PALLAS_AXON_POOL_IPS"] = pool
+    else:
+        env.pop("PALLAS_AXON_POOL_IPS", None)
+    child = subprocess.Popen(
+        [sys.executable, os.path.abspath(__file__), "--tpu-child"] + sorted(done),
+        stdout=subprocess.PIPE,
+        stderr=subprocess.DEVNULL,
+        start_new_session=True,  # killable as a group even mid-compile
+        cwd=os.path.dirname(os.path.abspath(__file__)),
+        env=env,
+    )
     try:
-        if not relay_present():
-            raise RuntimeError("axon tunnel absent (no listener on 8082+)")
-        signal.alarm(40 * 60)
-        relay_gbs = relay_health()
-        nnz_t, dt_t = bench_tpu()
-        gnnz_sep = 2 * nnz_t / dt_t / 1e9
-        nnz_p, dt_p = bench_tpu_pair()
-        gnnz_pair = 2 * nnz_p / dt_p / 1e9
-    except _Timeout:
-        error = "tpu bench timed out (relay compile path wedged)"
-    except Exception as e:  # report, don't hang the driver
-        error = f"tpu bench failed: {type(e).__name__}: {e}"[:200]
-    finally:
-        signal.alarm(0)
+        out, _ = child.communicate(timeout=budget_s)
+        _ingest(out, stages, errors)
+        return True
+    except subprocess.TimeoutExpired:
+        # TERM first (lets the relay session close cleanly), then KILL.
+        for sig, grace in ((signal.SIGTERM, 5), (signal.SIGKILL, 5)):
+            try:
+                os.killpg(child.pid, sig)
+            except OSError:
+                pass
+            try:
+                out, _ = child.communicate(timeout=grace)
+                break
+            except subprocess.TimeoutExpired:
+                out = b""
+        _ingest(out, stages, errors)
+        errors.append(f"attempt exceeded {budget_s}s (killed)")
+        return False
 
-    nnz_c, dt_c = bench_cpu_serial()
-    gnnz_cpu = 2 * nnz_c / dt_c / 1e9
 
-    gnnz_tpu = max(gnnz_sep, gnnz_pair)
+def parent_main():
+    # The session presets JAX_PLATFORMS=axon and a sitecustomize imports jax
+    # at interpreter startup — so THIS parent process may already hold a
+    # tunnel session, and "a second concurrent TPU process can block on the
+    # tunnel" (verify skill). Re-exec once with JAX_PLATFORMS=cpu so only
+    # the child ever talks to the TPU; pass the original platform through.
+    if os.environ.get("_LSQR_BENCH_REEXEC") != "1":
+        env = dict(os.environ)
+        env["_LSQR_BENCH_ORIG_PLATFORMS"] = env.get("JAX_PLATFORMS", "")
+        env["JAX_PLATFORMS"] = "cpu"
+        # sitecustomize registers the axon PJRT plugin whenever
+        # PALLAS_AXON_POOL_IPS is set (and forces the axon platform even
+        # over JAX_PLATFORMS=cpu — measured); blank it so the parent never
+        # dials the tunnel, and stash it for the child.
+        env["_LSQR_BENCH_ORIG_POOL_IPS"] = env.get("PALLAS_AXON_POOL_IPS", "")
+        env["PALLAS_AXON_POOL_IPS"] = ""
+        env["_LSQR_BENCH_REEXEC"] = "1"
+        os.execve(sys.executable, [sys.executable, os.path.abspath(__file__)], env)
+
+    stages = {}
+    errors = []
+    deadline = time.monotonic() + TPU_TOTAL_BUDGET_S
+    cpu_done = False
+    gnnz_cpu = 0.0
+    for attempt in range(TPU_MAX_ATTEMPTS):
+        done = set(stages)
+        if {"health", "pair", "separate"} <= done:
+            break
+        budget = min(TPU_ATTEMPT_BUDGET_S, deadline - time.monotonic())
+        if budget < 30:
+            break
+        t0 = time.monotonic()
+        import threading
+
+        result = {}
+        th = threading.Thread(
+            target=lambda: result.update(
+                ok=_run_attempt(done, budget, stages, errors)
+            )
+        )
+        th.start()
+        if not cpu_done:
+            # CPU baseline overlaps the first child's compile time.
+            gnnz_cpu = bench_cpu_serial()
+            cpu_done = True
+        th.join()
+        print(
+            f"attempt {attempt + 1}: stages={sorted(set(stages) - done)} "
+            f"({time.monotonic() - t0:.0f}s)",
+            file=sys.stderr,
+            flush=True,
+        )
+        if not result.get("ok") and attempt + 1 < TPU_MAX_ATTEMPTS:
+            time.sleep(15)  # give the tunnel a moment to drop the dead session
+    if not cpu_done:
+        gnnz_cpu = bench_cpu_serial()
+
+    gnnz_pair = stages.get("pair", {}).get("gnnz", 0.0)
+    gnnz_sep = stages.get("separate", {}).get("gnnz", 0.0)
+    gnnz_tpu = max(gnnz_pair, gnnz_sep)
     record = {
         "metric": "spmv_pair_throughput_banded_88Mnnz_f32",
         "value": round(gnnz_tpu, 2),
         "unit": "Gnnz/s",
         "vs_baseline": round(gnnz_tpu / gnnz_cpu, 2),
-        "relay_health_gbs": round(relay_gbs),
-        # breakdown: the pair per step computed by separate matvec+rmatvec
-        # kernels vs the fused dia_pair single stripe pass
-        "separate_kernels_gnnz": round(gnnz_sep, 2),
-        "pair_kernel_gnnz": round(gnnz_pair, 2),
+        "relay_health_gbs": stages.get("health", {}).get("gbs", 0),
+        "separate_kernels_gnnz": gnnz_sep,
+        "pair_kernel_gnnz": gnnz_pair,
+        "cpu_baseline_gnnz": round(gnnz_cpu, 2),
     }
-    if error is not None:
-        record["error"] = error
+    if errors:
+        record["error"] = "; ".join(errors)[:300]
     print(json.dumps(record))
+    return 0
 
 
 if __name__ == "__main__":
-    sys.exit(main())
+    if "--tpu-child" in sys.argv:
+        i = sys.argv.index("--tpu-child")
+        sys.exit(child_main(set(sys.argv[i + 1:])))
+    sys.exit(parent_main())

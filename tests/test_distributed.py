@@ -35,6 +35,9 @@ def test_two_process_solve_matches_single(tmp_path):
     env["XLA_FLAGS"] = "--xla_force_host_platform_device_count=1"
     env.pop("JAX_PLATFORMS", None)
     env["JAX_PLATFORMS"] = "cpu"
+    # the workers import lsqr_tpu from the repo root (not installed)
+    repo_root = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+    env["PYTHONPATH"] = repo_root + os.pathsep + env.get("PYTHONPATH", "")
     procs = [
         subprocess.Popen(
             [sys.executable, WORKER, coordinator, "2", str(i), outs[i]],
