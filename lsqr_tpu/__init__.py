@@ -47,8 +47,9 @@ from .ops.host import host_coo, host_products, to_scipy
 from .multidamp import lsmr_multidamp, lsqr_multidamp
 from .regpath import (RegPath, discrepancy_damp, gcv_damp,
                       lcurve_corner, reg_sweep)
-from .ops.interop import (auto_operator, csr_operator, from_matrix_market,
-                          from_scipy, lsqr_scipy, lsmr_scipy)
+from .ops.interop import (auto_operator, csr_operator, from_bcoo,
+                          from_matrix_market, from_scipy, lsqr_scipy,
+                          lsmr_scipy)
 from .ops.megakernel import lsqr_megakernel, megakernel_supported
 from .ops.megakernel_lsmr import lsmr_megakernel, lsmr_megakernel_supported
 from .ops.megakernel_craig import craig_megakernel, craig_megakernel_supported
@@ -130,6 +131,7 @@ __all__ = [
     "lcurve_corner",
     "from_scipy",
     "from_matrix_market",
+    "from_bcoo",
     "lsqr_scipy",
     "lsmr_scipy",
     "lsqr_megakernel",

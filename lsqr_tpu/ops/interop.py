@@ -22,8 +22,8 @@ from .linop import LinearOperator
 from .structured import block_ell_operator, dia_operator, ell_operator
 
 __all__ = [
-    "from_scipy", "from_matrix_market", "csr_operator", "auto_operator",
-    "lsqr_scipy",
+    "from_scipy", "from_matrix_market", "from_bcoo", "csr_operator",
+    "auto_operator", "lsqr_scipy",
 ]
 
 
@@ -59,6 +59,57 @@ def from_matrix_market(path, *, dtype=None,
 
         dtype = default_dtype()
     return DenseOperator(jnp.asarray(arr, dtype))
+
+
+def from_bcoo(mat, *, dtype=None, format: Optional[str] = None) -> LinearOperator:
+    """Convert a ``jax.experimental.sparse`` matrix (BCOO or BCSR) to an
+    lsqr_tpu operator.
+
+    JAX's own sparse types compute SpMV with scatter/gather primitives that
+    hit the same TPU cliff as the plain COO path (BENCHMARKS.md: 0.1 Gnnz/s);
+    repacking into the structured formats (DIA/JDIA/BlockELL via
+    :func:`auto_operator`, or an explicit ``format``) recovers the streaming
+    kernels. The reference accepts only an in-memory COO triple
+    (lsqr.f90:91-127); this is the bridge for users already holding
+    jax-native sparse arrays.
+
+    Only unbatched 2-D matrices (``n_batch == 0``, ``n_dense == 0``) are
+    supported — batched sparse dimensions have no analogue in the solver
+    API (use :func:`lsqr_tpu.lsqr_batch` over a shared pattern instead).
+    """
+    from jax.experimental import sparse as jsparse
+
+    if isinstance(mat, jsparse.BCSR):
+        mat = mat.to_bcoo()
+    if not isinstance(mat, jsparse.BCOO):
+        raise TypeError(
+            f"from_bcoo expects a jax.experimental.sparse BCOO/BCSR matrix, "
+            f"got {type(mat).__name__}"
+        )
+    if mat.n_batch or mat.n_dense or mat.ndim != 2:
+        raise ValueError(
+            "from_bcoo supports unbatched 2-D matrices only "
+            f"(ndim={mat.ndim}, n_batch={mat.n_batch}, n_dense={mat.n_dense})"
+        )
+    m, n = mat.shape
+    # sum_duplicates also drops the padding entries unbatched BCOO uses
+    mat = mat.sum_duplicates()
+    indices = np.asarray(mat.indices)
+    data = np.asarray(mat.data, dtype=dtype if dtype else None)
+    rows, cols = indices[:, 0], indices[:, 1]
+    # sum_duplicates pads pruned slots with out-of-range indices; drop them
+    keep = (rows < m) & (cols < n)
+    rows, cols, data = rows[keep], cols[keep], data[keep]
+    if format is None:
+        return auto_operator(m, n, data, rows, cols, dtype=dtype)
+    builder = {
+        "ell": ell_operator,
+        "coo": coo_operator,
+        "block": block_ell_operator,
+    }.get(format)
+    if builder is None:
+        raise ValueError(f"unknown format {format!r}")
+    return builder(m, n, data, rows, cols, dtype=dtype)
 
 
 def csr_operator(m, n, indptr, indices, data, *, dtype=None, format="ell"):

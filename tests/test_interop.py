@@ -211,3 +211,87 @@ def test_from_matrix_market_sparse_and_dense(tmp_path, rng):
     scipy.io.mmwrite(str(pc), (D + 1j * D).astype(np.complex128))
     with pytest.raises(ValueError, match="complex"):
         from_matrix_market(pc)
+
+
+# ---------------------------------------------------------------------------
+# jax.experimental.sparse (BCOO/BCSR) bridge
+# ---------------------------------------------------------------------------
+
+def _random_bcoo(rng, m=60, n=40, nnz=300):
+    from jax.experimental import sparse as jsparse
+    import jax.numpy as jnp
+
+    rows = rng.integers(0, m, nnz)
+    cols = rng.integers(0, n, nnz)
+    vals = rng.standard_normal(nnz)
+    dense = np.zeros((m, n))
+    np.add.at(dense, (rows, cols), vals)
+    mat = jsparse.BCOO(
+        (jnp.asarray(vals), jnp.asarray(np.stack([rows, cols], 1))),
+        shape=(m, n),
+    )
+    return mat, dense
+
+
+def test_from_bcoo_matches_dense(rng):
+    mat, dense = _random_bcoo(rng)
+    A = lt.from_bcoo(mat)
+    x = rng.standard_normal(dense.shape[1])
+    y = rng.standard_normal(dense.shape[0])
+    np.testing.assert_allclose(np.asarray(A.matvec(x)), dense @ x, rtol=1e-10)
+    np.testing.assert_allclose(np.asarray(A.rmatvec(y)), dense.T @ y, rtol=1e-10)
+
+
+def test_from_bcoo_solve_matches_scipy(rng):
+    mat, dense = _random_bcoo(rng, m=80, n=30, nnz=400)
+    A = lt.from_bcoo(mat)
+    b = rng.standard_normal(80)
+    res = lt.lsqr(A, b, 0.1, atol=1e-10, btol=1e-10)
+    ref = scipy.sparse.linalg.lsqr(
+        scipy.sparse.csr_matrix(dense), b, damp=0.1, atol=1e-10, btol=1e-10
+    )
+    # the packed format's reduction order differs from scipy CSR's, so the
+    # stopping test can trip one iteration apart
+    assert abs(int(res.itn) - ref[2]) <= 1
+    np.testing.assert_allclose(np.asarray(res.x), ref[0], atol=1e-8)
+
+
+def test_from_bcoo_bcsr_and_formats(rng):
+    from jax.experimental import sparse as jsparse
+
+    mat, dense = _random_bcoo(rng)
+    bcsr = jsparse.BCSR.from_bcoo(mat.sort_indices())
+    A = lt.from_bcoo(bcsr, format="coo")
+    x = rng.standard_normal(dense.shape[1])
+    np.testing.assert_allclose(np.asarray(A.matvec(x)), dense @ x, rtol=1e-10)
+    for fmt in ("ell", "block"):
+        Af = lt.from_bcoo(mat, format=fmt)
+        np.testing.assert_allclose(
+            np.asarray(Af.matvec(x)), dense @ x, rtol=1e-10
+        )
+
+
+def test_from_bcoo_duplicates_summed(rng):
+    from jax.experimental import sparse as jsparse
+    import jax.numpy as jnp
+
+    # duplicate coordinates must accumulate, matching COO semantics
+    # (reference scatter-accumulate, lsqr.f90:168-172)
+    idx = np.array([[0, 0], [0, 0], [1, 2], [2, 1]])
+    vals = np.array([1.0, 2.0, 3.0, 4.0])
+    mat = jsparse.BCOO((jnp.asarray(vals), jnp.asarray(idx)), shape=(3, 3))
+    dense = np.zeros((3, 3))
+    np.add.at(dense, (idx[:, 0], idx[:, 1]), vals)
+    A = lt.from_bcoo(mat)
+    x = np.arange(1.0, 4.0)
+    np.testing.assert_allclose(np.asarray(A.matvec(x)), dense @ x, rtol=1e-12)
+
+
+def test_from_bcoo_rejects_batched(rng):
+    from jax.experimental import sparse as jsparse
+    import jax.numpy as jnp
+
+    dense = jnp.asarray(rng.standard_normal((2, 4, 5)))
+    batched = jsparse.BCOO.fromdense(dense, n_batch=1)
+    with pytest.raises(ValueError, match="unbatched"):
+        lt.from_bcoo(batched)
