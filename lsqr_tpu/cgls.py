@@ -100,8 +100,17 @@ def _build(
     definition."""
     m, n = A.shape
     dtype = b.dtype
-    zero = jnp.zeros((), dtype)
-    one = jnp.ones((), dtype)
+    # complex extension: vectors may be complex, every scalar of the CG
+    # recurrence is REAL (alpha/beta/gamma/delta are all built from norms;
+    # rmatvec is the conjugate-transpose product — see solver._build)
+    rdtype = jnp.zeros((), dtype).real.dtype
+    if rdtype != dtype and pair:
+        raise ValueError(
+            "fused pair kernels are real-f32 only; set pair=False for "
+            "complex operators"
+        )
+    zero = jnp.zeros((), rdtype)
+    one = jnp.ones((), rdtype)
     axis_m = getattr(A, "axis_name_m", None)
     axis_n = getattr(A, "axis_name_n", None)
 
@@ -315,11 +324,13 @@ def cgls(
     A = as_operator(A, m=m, n=n)
     b = jnp.asarray(b)
     dtype = b.dtype
-    if not jnp.issubdtype(dtype, jnp.floating):
+    if not jnp.issubdtype(dtype, jnp.inexact):  # ints -> default float
         from .config import default_dtype
 
         dtype = default_dtype()
         b = b.astype(dtype)
+    # tolerances/damp are always real, also for complex problems
+    rdt = jnp.zeros((), dtype).real.dtype
     if b.ndim != 1 or (getattr(A, "axis_name_m", None) is None and b.shape[0] != A.m):
         raise ValueError(
             f"b must be a vector of length m = {A.m}; got shape {b.shape}"
@@ -328,7 +339,7 @@ def cgls(
     # zero tolerances mean machine precision (the reference's semantics,
     # lsqr.f90:509-512); literal 0.0 would leave only the 1+t<=1 guards,
     # which f32 noise can hover just above
-    eps = float(jnp.finfo(dtype).eps)
+    eps = float(jnp.finfo(rdt).eps)
     atol = eps if atol == 0 else atol
     btol = eps if btol == 0 else btol
 
@@ -377,9 +388,9 @@ def cgls(
     args = (
         A,
         b,
-        jnp.asarray(damp, dtype),
-        jnp.asarray(atol, dtype),
-        jnp.asarray(btol, dtype),
+        jnp.asarray(damp, rdt),
+        jnp.asarray(atol, rdt),
+        jnp.asarray(btol, rdt),
     )
     if loop is None:
         loop = "bounded" if getattr(A, "prefers_bounded_loop", False) else "while"

@@ -86,9 +86,18 @@ def _build(
     definition."""
     m, n = A.shape
     dtype = b.dtype
-    zero = jnp.zeros((), dtype)
-    one = jnp.ones((), dtype)
-    eps = jnp.asarray(jnp.finfo(dtype).eps, dtype)
+    # complex extension: vectors may be complex, the bidiagonal entries and
+    # the forward-substitution y_k are REAL (rmatvec is the conjugate-
+    # transpose product — see solver._build)
+    rdtype = jnp.zeros((), dtype).real.dtype
+    if rdtype != dtype and pair:
+        raise ValueError(
+            "fused pair kernels are real-f32 only; set pair=False for "
+            "complex operators"
+        )
+    zero = jnp.zeros((), rdtype)
+    one = jnp.ones((), rdtype)
+    eps = jnp.asarray(jnp.finfo(rdtype).eps, rdtype)
     axis_m = getattr(A, "axis_name_m", None)
     axis_n = getattr(A, "axis_name_n", None)
 
@@ -286,11 +295,13 @@ def craig(
     A = as_operator(A, m=m, n=n)
     b = jnp.asarray(b)
     dtype = b.dtype
-    if not jnp.issubdtype(dtype, jnp.floating):
+    if not jnp.issubdtype(dtype, jnp.inexact):  # ints -> default float
         from .config import default_dtype
 
         dtype = default_dtype()
         b = b.astype(dtype)
+    # tolerances are always real, also for complex problems
+    rdt = jnp.zeros((), dtype).real.dtype
     if b.ndim != 1 or (getattr(A, "axis_name_m", None) is None and b.shape[0] != A.m):
         raise ValueError(
             f"b must be a vector of length m = {A.m}; got shape {b.shape}"
@@ -343,8 +354,8 @@ def craig(
     args = (
         A,
         b,
-        jnp.asarray(atol, dtype),
-        jnp.asarray(btol, dtype),
+        jnp.asarray(atol, rdt),
+        jnp.asarray(btol, rdt),
     )
     if loop is None:
         loop = "bounded" if getattr(A, "prefers_bounded_loop", False) else "while"

@@ -57,7 +57,11 @@ def acheck(A, *, m=None, n=None, eps=None, power: float = 0.5) -> ACheckResult:
     w = y + A.matvec(x)
     v = x + A.rmatvec(y)
     alfa = jnp.vdot(y, w)
-    beta = jnp.vdot(x, v)
+    # over C the identity is <y, y+Ax> = <v, x> with v = x + A^H y (both
+    # sides share the cross term y^H A x); vdot conjugates its first
+    # argument, and for real operators vdot(v, x) == vdot(x, v) exactly,
+    # so the reference's real test (lsqr.f90:969-992) is unchanged.
+    beta = jnp.vdot(v, x)
     test1 = jnp.abs(alfa - beta)
     test2 = 1.0 + jnp.abs(alfa) + jnp.abs(beta)
     error = test1 / test2
@@ -85,9 +89,10 @@ def xcheck(
     b = jnp.asarray(b)
     x = jnp.asarray(x)
     dtype = b.dtype
-    eps = eps if eps is not None else eps_for(dtype)
+    rdtype = jnp.zeros((), dtype).real.dtype  # norms/tests are always real
+    eps = eps if eps is not None else eps_for(rdtype)
     tol = float(eps) ** power
-    damp = jnp.asarray(damp, dtype)
+    damp = jnp.asarray(damp, rdtype)
     dampsq = damp * damp
 
     u = b - A.matvec(x)              # r  (lsqr.f90:1073-1076)
@@ -116,7 +121,7 @@ def xcheck(
     inform = jnp.where(test2 <= tol, 2, inform)
     inform = jnp.where(test1 <= tol, 1, inform)
     inform = jnp.where(trivial, 0, inform)
-    z = jnp.zeros((), dtype)
+    z = jnp.zeros((), rdtype)
     return XCheckResult(
         inform=inform,
         test1=jnp.where(trivial, z, test1),

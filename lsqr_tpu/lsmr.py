@@ -147,8 +147,19 @@ def _build(
     iteration definition."""
     m, n = A.shape
     dtype = b.dtype
-    zero = jnp.zeros((), dtype)
-    one = jnp.ones((), dtype)
+    # complex extension: vectors may be complex, every scalar of the
+    # Fong–Saunders recurrence is REAL (see solver._build; rmatvec is the
+    # conjugate-transpose product, so the bidiagonalization scalars are the
+    # real norms either way)
+    rdtype = jnp.zeros((), dtype).real.dtype
+    is_complex = rdtype != dtype
+    if is_complex and pair:
+        raise ValueError(
+            "fused pair kernels are real-f32 only; set pair=False for "
+            "complex operators"
+        )
+    zero = jnp.zeros((), rdtype)
+    one = jnp.ones((), rdtype)
     axis_m = getattr(A, "axis_name_m", None)
     axis_n = getattr(A, "axis_name_n", None)
 
@@ -178,13 +189,13 @@ def _build(
     normar0 = alpha0 * beta0
 
     trace_rows = itnlim + 1 if record_trace else 1
-    trace0 = jnp.zeros((trace_rows, len(LSMR_TRACE_COLUMNS)), dtype)
+    trace0 = jnp.zeros((trace_rows, len(LSMR_TRACE_COLUMNS)), rdtype)
     if record_trace:
         row0 = jnp.stack(
             [zero, zero, beta0, normar0, one,
              jnp.where(normar0 > zero, alpha0 / safe_beta0, zero),
              zero, zero]
-        ).astype(dtype)
+        ).astype(rdtype)
         trace0 = trace0.at[0].set(row0)
 
     carry0 = _Carry(
@@ -213,7 +224,7 @@ def _build(
         norma2=alpha0 * alpha0,
         maxrbar=zero,
         minrbar=jnp.asarray(
-            min(1e100, float(jnp.finfo(dtype).max) / 2), dtype
+            min(1e100, float(jnp.finfo(rdtype).max) / 2), rdtype
         ),
         normr=beta0,
         normar=normar0,
@@ -310,7 +321,7 @@ def _build(
         denom2 = norma * normr
         test2 = jnp.where(
             denom2 > zero, normar / jnp.where(denom2 > zero, denom2, one),
-            jnp.full((), jnp.inf, dtype),
+            jnp.full((), jnp.inf, rdtype),
         )
         test3 = one / conda
         t1 = test1 / (one + norma * normx / safe_normb)
@@ -330,10 +341,12 @@ def _build(
         trace = c.trace
         if record_trace:
             x0_val = x[0] if axis_n is None else jax.lax.all_gather(x, axis_n)[0, 0]
+            if is_complex:
+                x0_val = jnp.real(x0_val)
             row = jnp.stack(
-                [itn.astype(dtype), x0_val, normr, normar, test1,
+                [itn.astype(rdtype), x0_val, normr, normar, test1,
                  jnp.where(jnp.isinf(test2), zero, test2), norma, conda]
-            ).astype(dtype)
+            ).astype(rdtype)
             trace = trace.at[itn].set(row)
 
         return _Carry(
@@ -452,11 +465,13 @@ def lsmr(
     A = as_operator(A, m=m, n=n)
     b = jnp.asarray(b)
     dtype = b.dtype
-    if not jnp.issubdtype(dtype, jnp.floating):
+    if not jnp.issubdtype(dtype, jnp.inexact):  # ints -> default float
         from .config import default_dtype
 
         dtype = default_dtype()
         b = b.astype(dtype)
+    # tolerances/damp are always real, also for complex problems
+    rdt = jnp.zeros((), dtype).real.dtype
     if b.ndim != 1 or (getattr(A, "axis_name_m", None) is None and b.shape[0] != A.m):
         raise ValueError(
             f"b must be a vector of length m = {A.m}; got shape {b.shape}"
@@ -464,7 +479,7 @@ def lsmr(
 
     # zero tolerances mean machine precision (the reference's semantics,
     # lsqr.f90:509-512), as in lsqr/cgls
-    eps = float(jnp.finfo(dtype).eps)
+    eps = float(jnp.finfo(rdt).eps)
     atol = eps if atol == 0 else atol
     btol = eps if btol == 0 else btol
 
@@ -540,10 +555,10 @@ def lsmr(
     args = (
         A,
         b,
-        jnp.asarray(damp, dtype),
-        jnp.asarray(atol, dtype),
-        jnp.asarray(btol, dtype),
-        jnp.asarray(conlim, dtype),
+        jnp.asarray(damp, rdt),
+        jnp.asarray(atol, rdt),
+        jnp.asarray(btol, rdt),
+        jnp.asarray(conlim, rdt),
     )
     if loop is None:
         loop = "bounded" if getattr(A, "prefers_bounded_loop", False) else "while"

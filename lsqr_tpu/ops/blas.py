@@ -15,7 +15,20 @@ from __future__ import annotations
 import jax
 import jax.numpy as jnp
 
-__all__ = ["nrm2", "d2norm", "safe_divide"]
+__all__ = ["nrm2", "d2norm", "safe_divide", "abs2"]
+
+
+def abs2(x: jax.Array) -> jax.Array:
+    """|x|^2 elementwise, always REAL-dtyped. For real inputs this is exactly
+    ``jnp.square`` (same op, same rounding — parity with the reference's
+    real-only squares is untouched); for complex inputs it is
+    ``re^2 + im^2``, the quantity every norm/se recurrence in the complex
+    extension of LSQR needs (the bidiagonalization scalars stay real,
+    Paige–Saunders 1982 §3 applies verbatim over C with A' = conj-transpose).
+    """
+    if jnp.issubdtype(x.dtype, jnp.complexfloating):
+        return jnp.real(x * jnp.conj(x))
+    return jnp.square(x)
 
 
 def nrm2(x: jax.Array, *, safe: bool = True, axis_name=None) -> jax.Array:
@@ -27,20 +40,25 @@ def nrm2(x: jax.Array, *, safe: bool = True, axis_name=None) -> jax.Array:
     reductions XLA fuses into one pass. With ``safe=False`` it is the plain
     ``sqrt(sum(x^2))`` (faster; fine at f64 and for well-scaled data).
 
+    Complex inputs return the REAL norm sqrt(sum |x_i|^2) in the matching
+    real dtype (the reference is real-only; this is the complex extension's
+    primitive).
+
     ``axis_name``: if given, the vector is sharded over that mesh axis
     (inside shard_map) and the reductions are completed with psum/pmax over
     the axis, producing the replicated global norm.
     """
+    rdtype = jnp.zeros((), x.dtype).real.dtype
     if safe:
-        amax = jnp.max(jnp.abs(x)) if x.size else jnp.zeros((), x.dtype)
+        amax = jnp.max(jnp.abs(x)) if x.size else jnp.zeros((), rdtype)
         if axis_name is not None:
             amax = jax.lax.pmax(amax, axis_name)
-        scale = jnp.where(amax > 0, amax, jnp.ones((), x.dtype))
-        ssq = jnp.sum(jnp.square(x / scale))
+        scale = jnp.where(amax > 0, amax, jnp.ones((), rdtype))
+        ssq = jnp.sum(abs2(x / scale))
         if axis_name is not None:
             ssq = jax.lax.psum(ssq, axis_name)
-        return jnp.where(amax > 0, scale * jnp.sqrt(ssq), jnp.zeros((), x.dtype))
-    ssq = jnp.sum(jnp.square(x))
+        return jnp.where(amax > 0, scale * jnp.sqrt(ssq), jnp.zeros((), rdtype))
+    ssq = jnp.sum(abs2(x))
     if axis_name is not None:
         ssq = jax.lax.psum(ssq, axis_name)
     return jnp.sqrt(ssq)

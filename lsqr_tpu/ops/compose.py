@@ -127,7 +127,13 @@ class ScaledOperator(LinearOperator):
         return self.alpha * self.op.matvec(x)
 
     def rmatvec(self, y: jax.Array) -> jax.Array:
-        return self.alpha * self.op.rmatvec(y)
+        # adjoint of alpha*A is conj(alpha)*A^H (conj is identity for real)
+        alpha = (
+            jnp.conj(self.alpha)
+            if jnp.issubdtype(jnp.asarray(self.alpha).dtype, jnp.complexfloating)
+            else self.alpha
+        )
+        return alpha * self.op.rmatvec(y)
 
 
 @jax.tree_util.register_dataclass
@@ -151,7 +157,13 @@ class DiagonalOperator(LinearOperator):
         return self.d * x
 
     def rmatvec(self, y: jax.Array) -> jax.Array:
-        return self.d * y
+        # adjoint of diag(d) is diag(conj(d)) (conj is identity for real)
+        d = (
+            jnp.conj(self.d)
+            if jnp.issubdtype(self.d.dtype, jnp.complexfloating)
+            else self.d
+        )
+        return d * y
 
     def todense(self) -> jax.Array:
         return jnp.diag(self.d)

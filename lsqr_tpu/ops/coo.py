@@ -68,7 +68,15 @@ class COOOperator(LinearOperator):
         )
 
     def rmatvec(self, y: jax.Array) -> jax.Array:
-        prods = self.vals * y[self.rows]
+        # adjoint product: for complex values this is A^H y (conjugate
+        # transpose) — the scalars of the bidiagonalization stay real and
+        # the reference's recurrences apply verbatim over C
+        vals = (
+            jnp.conj(self.vals)
+            if jnp.issubdtype(self.vals.dtype, jnp.complexfloating)
+            else self.vals
+        )
+        prods = vals * y[self.rows]
         return jax.ops.segment_sum(
             prods, self.cols, num_segments=self.n, indices_are_sorted=self.sorted_cols
         )

@@ -36,18 +36,14 @@ def from_matrix_market(path, *, dtype=None,
     reference has no file ingestion at all (COO arrays in memory only,
     lsqr.f90:91-127). Dense .mtx arrays become a DenseOperator; sparse
     ones go through :func:`from_scipy` (auto format selection unless
-    ``format`` is given). Complex matrices are rejected — the solvers are
-    real, like the reference.
+    ``format`` is given). Complex matrices load as COO/Dense operators
+    (the core solver family supports complex; the reference is real-only,
+    lsqr_kinds.F90:16-24).
     """
     import scipy.io
     import scipy.sparse
 
     mat = scipy.io.mmread(str(path))
-    if np.iscomplexobj(mat):
-        raise ValueError(
-            f"{path}: complex Matrix Market files are not supported "
-            "(the solver family is real, like the reference)"
-        )
     if scipy.sparse.issparse(mat):
         return from_scipy(mat, dtype=dtype, format=format)
     from .linop import DenseOperator
@@ -55,9 +51,12 @@ def from_matrix_market(path, *, dtype=None,
 
     arr = np.asarray(mat)
     if dtype is None:
-        from ..config import default_dtype
+        if np.iscomplexobj(arr):
+            dtype = arr.dtype  # keep complex (cast would drop imag)
+        else:
+            from ..config import default_dtype
 
-        dtype = default_dtype()
+            dtype = default_dtype()
     return DenseOperator(jnp.asarray(arr, dtype))
 
 
@@ -102,6 +101,11 @@ def from_bcoo(mat, *, dtype=None, format: Optional[str] = None) -> LinearOperato
     rows, cols, data = rows[keep], cols[keep], data[keep]
     if format is None:
         return auto_operator(m, n, data, rows, cols, dtype=dtype)
+    if np.iscomplexobj(data) and format != "coo":
+        raise ValueError(
+            f"format={format!r} is real-only; complex matrices use the COO "
+            "path (format='coo' or None)"
+        )
     builder = {
         "ell": ell_operator,
         "coo": coo_operator,
@@ -119,6 +123,11 @@ def csr_operator(m, n, indptr, indices, data, *, dtype=None, format="ell"):
     indptr = np.asarray(indptr)
     indices = np.asarray(indices)
     data = np.asarray(data, dtype=dtype if dtype else None)
+    if np.iscomplexobj(data) and format != "coo":
+        raise ValueError(
+            f"format={format!r} is real-only; complex matrices use "
+            "format='coo'"
+        )
     rows = np.repeat(np.arange(m, dtype=np.int32), np.diff(indptr))
     if format == "ell":
         return ell_operator(m, n, data, rows, indices, dtype=dtype)
@@ -141,6 +150,11 @@ def from_scipy(sp_matrix, *, dtype=None, format: Optional[str] = None) -> Linear
     coo = sp_matrix.tocoo()
     coo.sum_duplicates()
     m, n = coo.shape
+    if np.iscomplexobj(coo.data) and format not in (None, "coo"):
+        raise ValueError(
+            f"format={format!r} is real-only; complex matrices use the COO "
+            "path (format='coo' or None)"
+        )
     if format is None:
         return auto_operator(
             m, n, coo.data, coo.row, coo.col, dtype=dtype
@@ -185,6 +199,12 @@ def auto_operator(m, n, vals, rows, cols, *, dtype=None,
     vals_np = np.asarray(vals, dtype=dtype if dtype else None)
     nnz = len(vals_np)
     if nnz == 0:
+        return coo_operator(m, n, vals_np, rows_np, cols_np, dtype=dtype)
+    if np.iscomplexobj(vals_np):
+        # the structured streaming formats (DIA/JDIA/BlockELL/ELL) are
+        # real-only (f32 Pallas kernels, transpose packings without conj);
+        # complex matrices take the fully-general COO path, whose
+        # segment-sum products (and conjugated adjoint) support complex
         return coo_operator(m, n, vals_np, rows_np, cols_np, dtype=dtype)
 
     diags = np.unique(cols_np.astype(np.int64) - rows_np)

@@ -57,6 +57,9 @@ class LinearOperator:
 
     @property
     def T(self) -> "LinearOperator":
+        """The adjoint operator: swaps matvec/rmatvec. Since ``rmatvec`` is
+        the conjugate-transpose product for complex operators, ``T`` is the
+        Hermitian adjoint A^H there (and the plain transpose for real)."""
         return _TransposedOperator(op=self)
 
     def todense(self) -> jax.Array:
@@ -90,7 +93,14 @@ class DenseOperator(LinearOperator):
         return jnp.dot(self.a, x, preferred_element_type=self.a.dtype)
 
     def rmatvec(self, y: jax.Array) -> jax.Array:
-        return jnp.dot(self.a.T, y, preferred_element_type=self.a.dtype)
+        # adjoint product (A^H y): conjugate transpose for complex matrices,
+        # plain transpose for real (conj is the identity XLA elides)
+        at = (
+            jnp.conj(self.a.T)
+            if jnp.issubdtype(self.a.dtype, jnp.complexfloating)
+            else self.a.T
+        )
+        return jnp.dot(at, y, preferred_element_type=self.a.dtype)
 
     def todense(self) -> jax.Array:
         return self.a

@@ -91,6 +91,12 @@ def make_mesh_2d(
     return Mesh(np.array(devices).reshape(r, c), axis_names)
 
 
+def _rdt(dtype):
+    """Real counterpart of ``dtype`` — damp/tolerances are always real,
+    also for complex problems (see solver._build)."""
+    return jnp.zeros((), dtype).real.dtype
+
+
 @jax.tree_util.register_dataclass
 @dataclasses.dataclass(frozen=True)
 class _LocalRowShard(LinearOperator):
@@ -125,9 +131,16 @@ class _LocalRowShard(LinearOperator):
         )
 
     def rmatvec(self, y: jax.Array) -> jax.Array:
-        # local partial A_local' y_local -> global reduce over the row axis.
+        # local partial A_local^H y_local -> global reduce over the row axis
+        # (conj for complex values: the adjoint is the conjugate transpose,
+        # and psum is dtype-generic)
+        vals = (
+            jnp.conj(self.vals)
+            if jnp.issubdtype(self.vals.dtype, jnp.complexfloating)
+            else self.vals
+        )
         partial_ = jax.ops.segment_sum(
-            self.vals * y[self.rows], self.cols, num_segments=self.n
+            vals * y[self.rows], self.cols, num_segments=self.n
         )
         return jax.lax.psum(partial_, self.axis)
 
@@ -255,7 +268,7 @@ def lsqr_sharded(
         )
 
     dtype = opts.dtype or jnp.result_type(jnp.asarray(b).dtype, sharded.vals.dtype)
-    if not jnp.issubdtype(dtype, jnp.floating):
+    if not jnp.issubdtype(dtype, jnp.inexact):  # ints -> default float
         from ..config import default_dtype
 
         dtype = default_dtype()
@@ -307,10 +320,10 @@ def lsqr_sharded(
             sharded.rows,
             sharded.cols,
             b_pad,
-            jnp.asarray(damp, dtype),
-            jnp.asarray(opts.atol, dtype),
-            jnp.asarray(opts.btol, dtype),
-            jnp.asarray(opts.conlim, dtype),
+            jnp.asarray(damp, _rdt(dtype)),
+            jnp.asarray(opts.atol, _rdt(dtype)),
+            jnp.asarray(opts.btol, _rdt(dtype)),
+            jnp.asarray(opts.conlim, _rdt(dtype)),
         )
     )
     return res
@@ -486,10 +499,10 @@ def lsqr_sharded_dia(
         data_s,
         row0s,
         b_pad,
-        jnp.asarray(damp, dtype),
-        jnp.asarray(opts.atol, dtype),
-        jnp.asarray(opts.btol, dtype),
-        jnp.asarray(opts.conlim, dtype),
+        jnp.asarray(damp, _rdt(dtype)),
+        jnp.asarray(opts.atol, _rdt(dtype)),
+        jnp.asarray(opts.btol, _rdt(dtype)),
+        jnp.asarray(opts.conlim, _rdt(dtype)),
     )
 
 
@@ -538,7 +551,7 @@ def lsqr_multidamp_sharded(
         data_s, row0s, b_pad, rpd, m_pad, dtype = _prep_dia_shards(
             A, b, mesh, axis_name, dtype=opts.dtype
         )
-        damps = jnp.atleast_1d(jnp.asarray(damps, dtype))
+        damps = jnp.atleast_1d(jnp.asarray(damps, _rdt(dtype)))
         md_kw.update(itnlim=opts.resolve_itnlim(n), pair=bool(opts.pair))
         offsets = A.offsets
 
@@ -567,9 +580,9 @@ def lsqr_multidamp_sharded(
 
         return jax.jit(run_dia)(*_globalize(
             mesh, data_s, row0s, b_pad, damps,
-            jnp.asarray(opts.atol, dtype),
-            jnp.asarray(opts.btol, dtype),
-            jnp.asarray(opts.conlim, dtype),
+            jnp.asarray(opts.atol, _rdt(dtype)),
+            jnp.asarray(opts.btol, _rdt(dtype)),
+            jnp.asarray(opts.conlim, _rdt(dtype)),
         ))
 
     if isinstance(A, COOOperator):
@@ -586,7 +599,7 @@ def lsqr_multidamp_sharded(
             "DIAOperator"
         )
     dtype = opts.dtype or jnp.result_type(jnp.asarray(b).dtype, sharded.vals.dtype)
-    if not jnp.issubdtype(dtype, jnp.floating):
+    if not jnp.issubdtype(dtype, jnp.inexact):  # ints -> default float
         from ..config import default_dtype
 
         dtype = default_dtype()
@@ -594,7 +607,7 @@ def lsqr_multidamp_sharded(
     if b.shape != (sharded.m,):
         raise ValueError(f"b must have shape ({sharded.m},), got {b.shape}")
     b_pad = jnp.zeros((sharded.m_pad,), dtype).at[: sharded.m].set(b)
-    damps = jnp.atleast_1d(jnp.asarray(damps, dtype))
+    damps = jnp.atleast_1d(jnp.asarray(damps, _rdt(dtype)))
     md_kw.update(itnlim=opts.resolve_itnlim(sharded.n), pair=False)
     rpd = sharded.m_pad // ndev
     n = sharded.n
@@ -628,9 +641,9 @@ def lsqr_multidamp_sharded(
         sharded.cols,
         b_pad,
         damps,
-        jnp.asarray(opts.atol, dtype),
-        jnp.asarray(opts.btol, dtype),
-        jnp.asarray(opts.conlim, dtype),
+        jnp.asarray(opts.atol, _rdt(dtype)),
+        jnp.asarray(opts.btol, _rdt(dtype)),
+        jnp.asarray(opts.conlim, _rdt(dtype)),
     ))
 
 
@@ -881,7 +894,7 @@ def lsqr_sharded_2d(
     cpd = n_pad // ndev_c
 
     dtype = opts.dtype or jnp.result_type(jnp.asarray(b).dtype, vals_s.dtype)
-    if not jnp.issubdtype(dtype, jnp.floating):
+    if not jnp.issubdtype(dtype, jnp.inexact):  # ints -> default float
         from ..config import default_dtype
 
         dtype = default_dtype()
@@ -942,10 +955,10 @@ def lsqr_sharded_2d(
             rows_s,
             cols_s,
             b_pad,
-            jnp.asarray(damp, dtype),
-            jnp.asarray(opts.atol, dtype),
-            jnp.asarray(opts.btol, dtype),
-            jnp.asarray(opts.conlim, dtype),
+            jnp.asarray(damp, _rdt(dtype)),
+            jnp.asarray(opts.atol, _rdt(dtype)),
+            jnp.asarray(opts.btol, _rdt(dtype)),
+            jnp.asarray(opts.conlim, _rdt(dtype)),
         )
     )
 
@@ -962,7 +975,7 @@ def _sharded_2d_prep(A, b, mesh, axis_names, dtype_hint=None):
     m, n = A.m, A.n
     vals_s, rows_s, cols_s, m_pad, n_pad = _shard_coo_2d(A, ndev_r, ndev_c)
     dtype = dtype_hint or jnp.result_type(jnp.asarray(b).dtype, vals_s.dtype)
-    if not jnp.issubdtype(dtype, jnp.floating):
+    if not jnp.issubdtype(dtype, jnp.inexact):  # ints -> default float
         from ..config import default_dtype
 
         dtype = default_dtype()
@@ -1036,8 +1049,8 @@ def lsmr_sharded_2d(
                           impl, 4)
     return jax.jit(run)(*_globalize(
         mesh, vals_s.astype(dtype), rows_s, cols_s, b_pad,
-        jnp.asarray(damp, dtype), jnp.asarray(atol, dtype),
-        jnp.asarray(btol, dtype), jnp.asarray(conlim, dtype)))
+        jnp.asarray(damp, _rdt(dtype)), jnp.asarray(atol, _rdt(dtype)),
+        jnp.asarray(btol, _rdt(dtype)), jnp.asarray(conlim, _rdt(dtype))))
 
 
 def craig_sharded_2d(
@@ -1066,7 +1079,7 @@ def craig_sharded_2d(
                           impl, 2)
     return jax.jit(run)(*_globalize(
         mesh, vals_s.astype(dtype), rows_s, cols_s, b_pad,
-        jnp.asarray(atol, dtype), jnp.asarray(btol, dtype)))
+        jnp.asarray(atol, _rdt(dtype)), jnp.asarray(btol, _rdt(dtype))))
 
 
 def cgls_sharded_2d(
@@ -1095,8 +1108,8 @@ def cgls_sharded_2d(
                           impl, 3)
     return jax.jit(run)(*_globalize(
         mesh, vals_s.astype(dtype), rows_s, cols_s, b_pad,
-        jnp.asarray(damp, dtype), jnp.asarray(atol, dtype),
-        jnp.asarray(btol, dtype)))
+        jnp.asarray(damp, _rdt(dtype)), jnp.asarray(atol, _rdt(dtype)),
+        jnp.asarray(btol, _rdt(dtype))))
 
 
 # ---------------------------------------------------------------------------
@@ -1119,7 +1132,7 @@ def _prep_row_shards(A, b, mesh, axis_name, dtype=None):
     else:
         raise TypeError("expected a COOOperator or ShardedCOO")
     dtype = dtype or jnp.result_type(jnp.asarray(b).dtype, sharded.vals.dtype)
-    if not jnp.issubdtype(dtype, jnp.floating):
+    if not jnp.issubdtype(dtype, jnp.inexact):  # ints -> default float
         from ..config import default_dtype
 
         dtype = default_dtype()
@@ -1186,10 +1199,10 @@ def lsmr_sharded(
             sharded.rows,
             sharded.cols,
             b_pad,
-            jnp.asarray(damp, dtype),
-            jnp.asarray(atol, dtype),
-            jnp.asarray(btol, dtype),
-            jnp.asarray(conlim, dtype),
+            jnp.asarray(damp, _rdt(dtype)),
+            jnp.asarray(atol, _rdt(dtype)),
+            jnp.asarray(btol, _rdt(dtype)),
+            jnp.asarray(conlim, _rdt(dtype)),
         )
     )
 
@@ -1240,9 +1253,9 @@ def cgls_sharded(
             sharded.rows,
             sharded.cols,
             b_pad,
-            jnp.asarray(damp, dtype),
-            jnp.asarray(atol, dtype),
-            jnp.asarray(btol, dtype),
+            jnp.asarray(damp, _rdt(dtype)),
+            jnp.asarray(atol, _rdt(dtype)),
+            jnp.asarray(btol, _rdt(dtype)),
         )
     )
 
@@ -1291,7 +1304,7 @@ def craig_sharded(
             sharded.rows,
             sharded.cols,
             b_pad,
-            jnp.asarray(atol, dtype),
-            jnp.asarray(btol, dtype),
+            jnp.asarray(atol, _rdt(dtype)),
+            jnp.asarray(btol, _rdt(dtype)),
         )
     )

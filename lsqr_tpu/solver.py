@@ -156,19 +156,37 @@ def _build(
     convergence (reference precision note, lsqr.f90:429-430)."""
     m, n = A.shape
     dtype = b.dtype
-    sdtype = jnp.dtype(scalar_dtype) if scalar_dtype is not None else dtype
-    mixed = sdtype != dtype
+    # Complex extension (beyond the real-only reference, lsqr_kinds.F90):
+    # vectors u/v/w/x are complex, but every bidiagonalization scalar
+    # (alpha, beta, the rotation quantities, all norm estimates) is REAL —
+    # Paige–Saunders 1982 §3 holds verbatim over C with A' read as the
+    # conjugate transpose. The scalar recurrence therefore runs in the
+    # matching real dtype and the stopping taxonomy is unchanged.
+    rdtype = jnp.zeros((), dtype).real.dtype
+    is_complex = rdtype != dtype
+    sdtype = jnp.dtype(scalar_dtype) if scalar_dtype is not None else rdtype
+    mixed = sdtype != rdtype
     if fused and mixed:
         raise ValueError(
             "fused half-steps compute in f32 and cannot carry a wider "
             "scalar_dtype; set fused=False for the mixed-precision mode"
         )
+    if is_complex and (fused or pair):
+        raise ValueError(
+            "fused/pair half-step kernels are real-f32 only; "
+            "set fused=False, pair=False for complex operators"
+        )
 
     def sc(s):  # scalar -> recurrence precision
         return s.astype(sdtype) if mixed else s
 
-    def vc(s):  # scalar -> vector-op precision
-        return s.astype(dtype) if mixed else s
+    def vc(s):
+        # scalar -> vector-op precision: real scalars stay REAL even for
+        # complex vectors (f32 * c64 promotes to c64 without a cast)
+        return s.astype(rdtype) if mixed else s
+
+    def _abs2(vec):  # |.|^2 elementwise, real-dtyped (== square for real)
+        return jnp.real(vec * jnp.conj(vec)) if is_complex else jnp.square(vec)
 
     zero = jnp.zeros((), sdtype)
     one = jnp.ones((), sdtype)
@@ -223,14 +241,15 @@ def _build(
     n_local = v0.shape[0]
 
     trace_rows = itnlim + 1 if record_trace else 1
-    trace0 = jnp.zeros((trace_rows, len(TRACE_COLUMNS)), dtype)
+    # the trace log is real-valued (x0 is recorded as Re x[0] for complex)
+    trace0 = jnp.zeros((trace_rows, len(TRACE_COLUMNS)), rdtype)
     if record_trace:
         # itn-0 header line (lsqr.f90:663-669): test1 = 1, test2 = alpha/beta.
         row0 = jnp.stack(
             [zero, zero, beta0, one,
              jnp.where(beta0 > zero, alpha0 / safe_beta0, zero),
              zero, zero, zero, zero, zero, zero]
-        ).astype(dtype)
+        ).astype(rdtype)
         trace0 = trace0.at[0].set(row0)
 
     carry0 = _Carry(
@@ -241,7 +260,7 @@ def _build(
         v=v0,
         w=w0,
         x=jnp.zeros((n_local,), dtype),
-        se=jnp.zeros((n_local if wantse else 1,), dtype),
+        se=jnp.zeros((n_local if wantse else 1,), rdtype),
         alpha=alpha0,
         beta=beta0,
         rhobar=alpha0,
@@ -370,7 +389,7 @@ def _build(
         t = c.w
         x = vc(t1) * t + c.x
         w = vc(t2) * t + v_for_w
-        dk2 = jnp.square(vc(t3) * t)
+        dk2 = _abs2(vc(t3) * t)
         dknorm = jnp.sqrt(sum_n(dk2))
         se = c.se + dk2 if wantse else c.se
 
@@ -438,10 +457,12 @@ def _build(
         trace = c.trace
         if record_trace or debug_log:
             x0_val = x[0] if axis_n is None else jax.lax.all_gather(x, axis_n)[0, 0]
+            if is_complex:
+                x0_val = jnp.real(x0_val)
             row = jnp.stack(
                 [itn.astype(sdtype), sc(x0_val), rnorm, test1, test2,
                  anorm, acond, phi, dknorm, dxk, alfopt]
-            ).astype(dtype)
+            ).astype(rdtype)
             if record_trace:
                 trace = trace.at[itn].set(row)
             if debug_log:
@@ -639,11 +660,14 @@ def lsqr(
     A = as_operator(A, m=m, n=n)
     b = jnp.asarray(b)
     dtype = opts.dtype or jnp.result_type(b.dtype, getattr(A, "dtype", None) or b.dtype)
-    if not jnp.issubdtype(dtype, jnp.floating):
+    if not jnp.issubdtype(dtype, jnp.inexact):  # ints -> default float
         from .config import default_dtype
 
         dtype = default_dtype()
     b = b.astype(dtype)
+    # tolerances/damp are always real, also for complex problems (the
+    # scalar recurrence runs in the matching real dtype)
+    rdt = jnp.zeros((), dtype).real.dtype
     if b.ndim != 1 or (getattr(A, "axis_name_m", None) is None and b.shape[0] != A.m):
         raise ValueError(
             f"b must be a vector of length m = {A.m} (the number of rows of "
@@ -755,10 +779,10 @@ def lsqr(
     args = (
         A,
         b,
-        jnp.asarray(damp, dtype),
-        jnp.asarray(opts.atol, dtype),
-        jnp.asarray(opts.btol, dtype),
-        jnp.asarray(opts.conlim, dtype),
+        jnp.asarray(damp, rdt),
+        jnp.asarray(opts.atol, rdt),
+        jnp.asarray(opts.btol, rdt),
+        jnp.asarray(opts.conlim, rdt),
     )
     loop = opts.loop
     if loop is None:

@@ -1,0 +1,213 @@
+"""Complex-operator support across the solver family.
+
+The reference is real-only (compile-time real32/64/128 selection,
+/root/reference/src/lsqr_kinds.F90:16-24). Over C the Paige–Saunders
+bidiagonalization applies verbatim with A' read as the CONJUGATE transpose:
+the bidiagonal entries alpha/beta (and hence every rotation scalar and norm
+estimate) stay real, the vectors u/v/w/x are complex. scipy's lsqr/lsmr
+support complex the same way, giving a live cross-check oracle.
+"""
+
+import numpy as np
+import pytest
+import scipy.sparse
+import scipy.sparse.linalg as sla
+
+import lsqr_tpu as lt
+
+
+def _cproblem(rng, m=60, n=35, damp=0.1):
+    A = rng.standard_normal((m, n)) + 1j * rng.standard_normal((m, n))
+    b = rng.standard_normal(m) + 1j * rng.standard_normal(m)
+    return A, b, damp
+
+
+def _ccoo(rng, m=70, n=40, nnz=400):
+    rows = rng.integers(0, m, nnz)
+    cols = rng.integers(0, n, nnz)
+    vals = rng.standard_normal(nnz) + 1j * rng.standard_normal(nnz)
+    dense = np.zeros((m, n), complex)
+    np.add.at(dense, (rows, cols), vals)
+    return rows, cols, vals, dense
+
+
+# ---------------------------------------------------------------------------
+# operator layer
+# ---------------------------------------------------------------------------
+
+def test_complex_operator_products(rng):
+    rows, cols, vals, dense = _ccoo(rng)
+    A = lt.coo_operator(dense.shape[0], dense.shape[1], vals, rows, cols)
+    x = rng.standard_normal(dense.shape[1]) + 1j * rng.standard_normal(dense.shape[1])
+    y = rng.standard_normal(dense.shape[0]) + 1j * rng.standard_normal(dense.shape[0])
+    np.testing.assert_allclose(np.asarray(A.matvec(x)), dense @ x, rtol=1e-12)
+    # rmatvec is the CONJUGATE transpose product
+    np.testing.assert_allclose(
+        np.asarray(A.rmatvec(y)), dense.conj().T @ y, rtol=1e-12
+    )
+    D = lt.as_operator(dense)
+    np.testing.assert_allclose(np.asarray(D.rmatvec(y)), dense.conj().T @ y, rtol=1e-12)
+    # .T is the adjoint (Hermitian transpose for complex)
+    np.testing.assert_allclose(np.asarray(A.T.matvec(y)), dense.conj().T @ y, rtol=1e-12)
+
+
+def test_acheck_complex_and_catches_missing_conj(rng):
+    A, _, _ = _cproblem(rng)
+    assert int(lt.acheck(lt.as_operator(A)).inform) == 0
+    # plain transpose (no conj) must FAIL the adjoint test
+    bad = lt.CallbackOperator(
+        m=A.shape[0], n=A.shape[1],
+        _matvec=lambda x: A @ x, _rmatvec=lambda y: A.T @ y,
+    )
+    assert int(lt.acheck(bad).inform) == 1
+
+
+# ---------------------------------------------------------------------------
+# solver family vs scipy / closed-form oracles
+# ---------------------------------------------------------------------------
+
+def test_lsqr_complex_matches_scipy_dense(rng):
+    A, b, damp = _cproblem(rng)
+    res = lt.lsqr(A, b, damp, atol=1e-12, btol=1e-12)
+    ref = sla.lsqr(scipy.sparse.csr_matrix(A), b, damp=damp, atol=1e-12, btol=1e-12)
+    assert int(res.itn) == ref[2]
+    assert int(res.istop) == 3  # damped LS (scipy reports 2; no 2->3 reclass)
+    np.testing.assert_allclose(np.asarray(res.x), ref[0], atol=1e-10)
+    # closed form of the damped problem
+    n = A.shape[1]
+    xd = np.linalg.solve(A.conj().T @ A + damp**2 * np.eye(n), A.conj().T @ b)
+    np.testing.assert_allclose(np.asarray(res.x), xd, atol=1e-10)
+
+
+def test_lsqr_complex_coo_and_xcheck(rng):
+    rows, cols, vals, dense = _ccoo(rng)
+    m, n = dense.shape
+    A = lt.coo_operator(m, n, vals, rows, cols)
+    b = rng.standard_normal(m) + 1j * rng.standard_normal(m)
+    res = lt.lsqr(A, b, 0.05, atol=1e-12, btol=1e-12)
+    ref = sla.lsqr(scipy.sparse.csr_matrix(dense), b, damp=0.05,
+                   atol=1e-12, btol=1e-12)
+    assert abs(int(res.itn) - ref[2]) <= 1  # reduction-order rounding
+    np.testing.assert_allclose(np.asarray(res.x), ref[0], atol=1e-9)
+    xc = lt.xcheck(A, b=b, x=res.x, damp=0.05, anorm=res.anorm)
+    assert int(xc.inform) == 3
+
+
+def test_lsqr_complex_wantse_trace_warmstart(rng):
+    A, b, damp = _cproblem(rng, m=50, n=20)
+    res = lt.lsqr(A, b, damp, wantse=True, record_trace=True, itnlim=40)
+    assert res.se.shape == (20,)
+    assert not np.iscomplexobj(np.asarray(res.se))
+    assert not np.iscomplexobj(np.asarray(res.trace))
+    # warm start from a perturbed solution converges in fewer iterations
+    x0 = np.asarray(res.x) + 1e-6 * (rng.standard_normal(20)
+                                     + 1j * rng.standard_normal(20))
+    res2 = lt.lsqr(A, b, damp, x0=x0, atol=1e-12, btol=1e-12)
+    ref = lt.lsqr(A, b, damp, atol=1e-12, btol=1e-12)
+    assert int(res2.itn) < int(ref.itn)
+    np.testing.assert_allclose(np.asarray(res2.x), np.asarray(ref.x), atol=1e-9)
+
+
+def test_lsmr_complex_matches_scipy(rng):
+    A, b, damp = _cproblem(rng, m=70, n=40)
+    res = lt.lsmr(A, b, damp, atol=1e-10, btol=1e-10)
+    ref = sla.lsmr(scipy.sparse.csr_matrix(A), b, damp=damp,
+                   atol=1e-10, btol=1e-10)
+    assert int(res.itn) == ref[2]
+    np.testing.assert_allclose(np.asarray(res.x), ref[0], atol=1e-8)
+
+
+def test_cgls_complex_closed_form(rng):
+    A, b, damp = _cproblem(rng)
+    n = A.shape[1]
+    res = lt.cgls(A, b, damp, atol=1e-12, btol=1e-12)
+    xd = np.linalg.solve(A.conj().T @ A + damp**2 * np.eye(n), A.conj().T @ b)
+    np.testing.assert_allclose(np.asarray(res.x), xd, atol=1e-10)
+
+
+def test_craig_complex_minimum_norm(rng):
+    m, n = 30, 50
+    A = rng.standard_normal((m, n)) + 1j * rng.standard_normal((m, n))
+    b = A @ (rng.standard_normal(n) + 1j * rng.standard_normal(n))
+    res = lt.craig(A, b, atol=1e-13, btol=1e-13, itnlim=200)
+    xmn = np.linalg.pinv(A) @ b
+    assert int(res.istop) in (1, 2)
+    np.testing.assert_allclose(np.asarray(res.x), xmn, atol=1e-9)
+
+
+def test_lsqr_complex_underdetermined_min_norm(rng):
+    m, n = 25, 45
+    A = rng.standard_normal((m, n)) + 1j * rng.standard_normal((m, n))
+    b = rng.standard_normal(m) + 1j * rng.standard_normal(m)
+    res = lt.lsqr(A, b, 0.0, atol=1e-13, btol=1e-13)
+    xmn = np.linalg.pinv(A) @ b
+    assert int(res.istop) == 1
+    np.testing.assert_allclose(np.asarray(res.x), xmn, atol=1e-9)
+
+
+def test_complex64_single_precision(rng):
+    A, b, damp = _cproblem(rng, m=40, n=20)
+    res = lt.lsqr(A.astype(np.complex64), b.astype(np.complex64), damp,
+                  atol=1e-5, btol=1e-5)
+    n = A.shape[1]
+    xd = np.linalg.solve(A.conj().T @ A + damp**2 * np.eye(n), A.conj().T @ b)
+    assert np.asarray(res.x).dtype == np.complex64
+    np.testing.assert_allclose(np.asarray(res.x), xd, atol=1e-3)
+
+
+# ---------------------------------------------------------------------------
+# composites & interop
+# ---------------------------------------------------------------------------
+
+def test_complex_composites_adjoint(rng):
+    A, _, _ = _cproblem(rng, m=30, n=20)
+    from lsqr_tpu.ops.compose import (
+        diagonal_operator, scale_operator, vstack_operators,
+    )
+
+    d = rng.standard_normal(20) + 1j * rng.standard_normal(20)
+    alpha = 0.7 - 0.3j
+    op = vstack_operators([lt.as_operator(A),
+                           scale_operator(diagonal_operator(d), alpha)])
+    assert int(lt.acheck(op).inform) == 0
+    dense = np.vstack([A, alpha * np.diag(d)])
+    y = rng.standard_normal(50) + 1j * rng.standard_normal(50)
+    np.testing.assert_allclose(
+        np.asarray(op.rmatvec(y)), dense.conj().T @ y, rtol=1e-11
+    )
+
+
+def test_complex_interop_routing(rng):
+    rows, cols, vals, dense = _ccoo(rng, m=40, n=30, nnz=200)
+    sp = scipy.sparse.coo_matrix((vals, (rows, cols)), shape=(40, 30))
+    A = lt.from_scipy(sp)
+    from lsqr_tpu.ops.coo import COOOperator
+
+    assert isinstance(A, COOOperator)  # complex routes to the COO path
+    with pytest.raises(ValueError, match="real-only"):
+        lt.from_scipy(sp, format="dia")
+    x = rng.standard_normal(30) + 1j * rng.standard_normal(30)
+    np.testing.assert_allclose(np.asarray(A.matvec(x)), dense @ x, rtol=1e-11)
+
+
+def test_complex_sharded_solve_matches_unsharded(rng):
+    """Row-partitioned complex solve over the 8-virtual-device mesh: the
+    conjugated local rmatvec partials + psum must reproduce the unsharded
+    answer (the collectives are dtype-generic)."""
+    from lsqr_tpu.parallel.sharding import lsqr_sharded, make_mesh
+
+    m, n, nnz = 96, 40, 500
+    rows = rng.integers(0, m, nnz)
+    cols = rng.integers(0, n, nnz)
+    vals = rng.standard_normal(nnz) + 1j * rng.standard_normal(nnz)
+    A = lt.coo_operator(m, n, vals, rows, cols)
+    b = rng.standard_normal(m) + 1j * rng.standard_normal(m)
+    ref = lt.lsqr(A, b, 0.1, itnlim=25, atol=0.0, btol=0.0, conlim=0.0)
+    res = lsqr_sharded(A, b, 0.1, mesh=make_mesh(4), itnlim=25,
+                       atol=0.0, btol=0.0, conlim=0.0)
+    assert int(res.itn) == int(ref.itn)
+    # the psum'd rmatvec partials reorder the reduction vs the unsharded
+    # segment-sum; f64 agreement to ~1e-9 is the expected envelope
+    np.testing.assert_allclose(
+        np.asarray(res.x), np.asarray(ref.x), rtol=1e-7, atol=1e-9
+    )

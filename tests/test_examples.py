@@ -23,6 +23,7 @@ EXAMPLES = pathlib.Path(__file__).resolve().parent.parent / "examples"
         "06_solver_family.py",
         "13_hybrid_regularization.py",
         "15_mixed_precision_refinement.py",
+        "16_complex_least_squares.py",
     ],
 )
 def test_example_runs(name, capsys):

@@ -206,11 +206,16 @@ def test_from_matrix_market_sparse_and_dense(tmp_path, rng):
         np.asarray(Ad.matvec(jnp.ones(4))), D @ np.ones(4), rtol=1e-12
     )
 
-    # complex rejected
+    # complex .mtx loads as a complex operator (the core solver family
+    # supports complex; the reference is real-only, lsqr_kinds.F90:16-24)
     pc = tmp_path / "cplx.mtx"
-    scipy.io.mmwrite(str(pc), (D + 1j * D).astype(np.complex128))
-    with pytest.raises(ValueError, match="complex"):
-        from_matrix_market(pc)
+    Dc = (D + 2j * rng.standard_normal((6, 4))).astype(np.complex128)
+    scipy.io.mmwrite(str(pc), Dc)
+    Ac = from_matrix_market(pc)
+    y = rng.standard_normal(6) + 1j * rng.standard_normal(6)
+    np.testing.assert_allclose(
+        np.asarray(Ac.rmatvec(jnp.asarray(y))), Dc.conj().T @ y, rtol=1e-10
+    )
 
 
 # ---------------------------------------------------------------------------
