@@ -49,17 +49,20 @@ __all__ = ["lsqr_multidamp", "lsmr_multidamp"]
 
 def _row_nrm2(mat, *, safe: bool, axis_name=None):
     """Row-wise Euclidean norms of a (k, n) array — the vectorized form of
-    :func:`lsqr_tpu.ops.blas.nrm2` (same per-row overflow-safe scaling)."""
+    :func:`lsqr_tpu.ops.blas.nrm2` (same per-row overflow-safe scaling;
+    complex rows return the real norm in the matching real dtype)."""
+    from .ops.blas import abs2
+
     if safe:
         amax = jnp.max(jnp.abs(mat), axis=-1)
         if axis_name is not None:
             amax = jax.lax.pmax(amax, axis_name)
         scale = jnp.where(amax > 0, amax, jnp.ones_like(amax))
-        ssq = jnp.sum(jnp.square(mat / scale[:, None]), axis=-1)
+        ssq = jnp.sum(abs2(mat / scale[:, None]), axis=-1)
         if axis_name is not None:
             ssq = jax.lax.psum(ssq, axis_name)
         return jnp.where(amax > 0, scale * jnp.sqrt(ssq), jnp.zeros_like(amax))
-    ssq = jnp.sum(jnp.square(mat), axis=-1)
+    ssq = jnp.sum(abs2(mat), axis=-1)
     if axis_name is not None:
         ssq = jax.lax.psum(ssq, axis_name)
     return jnp.sqrt(ssq)
@@ -121,12 +124,22 @@ def _build_multidamp(
     """
     m, n = A.shape
     dtype = b.dtype
-    sdtype = jnp.dtype(scalar_dtype) if scalar_dtype is not None else dtype
-    mixed = sdtype != dtype
+    # complex extension: vectors may be complex, every scalar of the shared
+    # bidiagonalization and the per-damp recurrences is REAL (see
+    # solver._build)
+    rdtype = jnp.zeros((), dtype).real.dtype
+    is_complex = rdtype != dtype
+    sdtype = jnp.dtype(scalar_dtype) if scalar_dtype is not None else rdtype
+    mixed = sdtype != rdtype
     if pair and mixed:
         raise ValueError(
             "pair kernels compute in f32 and cannot carry a wider "
             "scalar_dtype; set pair=False for the mixed-precision mode"
+        )
+    if is_complex and pair:
+        raise ValueError(
+            "fused pair kernels are real-f32 only; set pair=False for "
+            "complex operators"
         )
     k = damps.shape[0]
 
@@ -134,7 +147,12 @@ def _build_multidamp(
         return s.astype(sdtype) if mixed else s
 
     def vc(s):
-        return s.astype(dtype) if mixed else s
+        # real scalars stay REAL even for complex vectors (f32 * c64
+        # promotes to c64 without a cast)
+        return s.astype(rdtype) if mixed else s
+
+    def _abs2(vec):  # |.|^2 elementwise, real-dtyped (== square for real)
+        return jnp.real(vec * jnp.conj(vec)) if is_complex else jnp.square(vec)
 
     zero = jnp.zeros((), sdtype)
     one = jnp.ones((), sdtype)
@@ -196,7 +214,7 @@ def _build_multidamp(
         itn_d=jnp.zeros((k,), jnp.int32),
         x=jnp.zeros((k, n_local), dtype),
         w=w0,
-        se=jnp.zeros((k, n_local if wantse else 1), dtype),
+        se=jnp.zeros((k, n_local if wantse else 1), rdtype),
         rhobar=jnp.full((k,), alpha0, sdtype),
         phibar=jnp.full((k,), beta0, sdtype),
         psi=zeros_k,
@@ -298,7 +316,7 @@ def _build_multidamp(
         t = c.w
         x = vc(t1) * t + c.x
         w = vc(t2) * t + v_for_w[None, :]
-        dk2 = jnp.square(vc(t3) * t)
+        dk2 = _abs2(vc(t3) * t)
         dknorm = jnp.sqrt(sum_n_rows(dk2))
         se = c.se + dk2 if wantse else c.se
 
@@ -538,12 +556,13 @@ def lsqr_multidamp(
     A = as_operator(A, m=m, n=n)
     b = jnp.asarray(b)
     dtype = opts.dtype or jnp.result_type(b.dtype, getattr(A, "dtype", None) or b.dtype)
-    if not jnp.issubdtype(dtype, jnp.floating):
+    if not jnp.issubdtype(dtype, jnp.inexact):  # ints -> default float
         from .config import default_dtype
 
         dtype = default_dtype()
     b = b.astype(dtype)
-    damps = jnp.atleast_1d(jnp.asarray(damps, dtype))
+    # damps are always real, also for complex problems
+    damps = jnp.atleast_1d(jnp.asarray(damps, jnp.zeros((), dtype).real.dtype))
     if damps.ndim != 1 or damps.shape[0] == 0:
         raise ValueError("damps must be a non-empty 1-D array of damping values")
     if b.ndim != 1 or (getattr(A, "axis_name_m", None) is None and b.shape[0] != A.m):
@@ -647,11 +666,19 @@ def _build_lsmr_multidamp(
 ):
     m, n = A.shape
     dtype = b.dtype
+    # complex extension: real scalar recurrence over complex vectors (see
+    # solver._build / _build_multidamp)
+    rdtype = jnp.zeros((), dtype).real.dtype
+    if rdtype != dtype and pair:
+        raise ValueError(
+            "fused pair kernels are real-f32 only; set pair=False for "
+            "complex operators"
+        )
     k = damps.shape[0]
-    zero = jnp.zeros((), dtype)
-    one = jnp.ones((), dtype)
-    ones_k = jnp.ones((k,), dtype)
-    zeros_k = jnp.zeros((k,), dtype)
+    zero = jnp.zeros((), rdtype)
+    one = jnp.ones((), rdtype)
+    ones_k = jnp.ones((k,), rdtype)
+    zeros_k = jnp.zeros((k,), rdtype)
     axis_m = getattr(A, "axis_name_m", None)
     axis_n = getattr(A, "axis_name_n", None)
 
@@ -682,27 +709,27 @@ def _build_lsmr_multidamp(
         h=jnp.broadcast_to(v0, (k,) + v0.shape),
         hbar=jnp.zeros((k, n_local), dtype),
         x=jnp.zeros((k, n_local), dtype),
-        alphabar=jnp.full((k,), alpha0, dtype),
+        alphabar=jnp.full((k,), alpha0, rdtype),
         rho=ones_k,
         rhobar=ones_k,
         cbar=ones_k,
         sbar=zeros_k,
         zeta=zeros_k,
-        zetabar=jnp.full((k,), alpha0 * beta0, dtype),
-        betadd=jnp.full((k,), beta0, dtype),
+        zetabar=jnp.full((k,), alpha0 * beta0, rdtype),
+        betadd=jnp.full((k,), beta0, rdtype),
         betad=zeros_k,
         rhodold=ones_k,
         tautildeold=zeros_k,
         thetatilde=zeros_k,
         d=zeros_k,
-        norma2=jnp.full((k,), alpha0 * alpha0, dtype),
+        norma2=jnp.full((k,), alpha0 * alpha0, rdtype),
         maxrbar=zeros_k,
         minrbar=jnp.full(
-            (k,), min(1e100, float(jnp.finfo(dtype).max) / 2), dtype
+            (k,), min(1e100, float(jnp.finfo(rdtype).max) / 2), rdtype
         ),
-        normr=jnp.full((k,), beta0, dtype),
-        normar=jnp.full((k,), normar0, dtype),
-        norma=jnp.full((k,), jnp.sqrt(alpha0 * alpha0), dtype),
+        normr=jnp.full((k,), beta0, rdtype),
+        normar=jnp.full((k,), normar0, rdtype),
+        norma=jnp.full((k,), jnp.sqrt(alpha0 * alpha0), rdtype),
         conda=ones_k,
         normx=zeros_k,
     )
@@ -738,7 +765,7 @@ def _build_lsmr_multidamp(
         chat, shat, alphahat = _sym_ortho(c.alphabar, damps, ones_k, zeros_k)
 
         rhoold = c.rho
-        cgiv, sgiv, rho = _sym_ortho(alphahat, jnp.full((k,), beta, dtype),
+        cgiv, sgiv, rho = _sym_ortho(alphahat, jnp.full((k,), beta, rdtype),
                                      ones_k, zeros_k)
         thetanew = sgiv * alpha
         alphabar = cgiv * alpha
@@ -936,12 +963,15 @@ def lsmr_multidamp(
     A = as_operator(A, m=m, n=n)
     b = jnp.asarray(b)
     dtype = b.dtype
-    if not jnp.issubdtype(dtype, jnp.floating):
+    if not jnp.issubdtype(dtype, jnp.inexact):  # ints -> default float
         from .config import default_dtype
 
         dtype = default_dtype()
         b = b.astype(dtype)
-    damps = jnp.atleast_1d(jnp.asarray(damps, dtype))
+    # damps/tolerances are always real, also for complex problems
+    damps = jnp.atleast_1d(
+        jnp.asarray(damps, jnp.zeros((), dtype).real.dtype)
+    )
     if damps.ndim != 1 or damps.shape[0] == 0:
         raise ValueError("damps must be a non-empty 1-D array of damping values")
     if b.ndim != 1 or (getattr(A, "axis_name_m", None) is None and b.shape[0] != A.m):

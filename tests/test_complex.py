@@ -211,3 +211,20 @@ def test_complex_sharded_solve_matches_unsharded(rng):
     np.testing.assert_allclose(
         np.asarray(res.x), np.asarray(ref.x), rtol=1e-7, atol=1e-9
     )
+
+
+def test_multidamp_complex_bitwise_matches_standalone(rng):
+    """Complex multi-damp sweeps: the shared bidiagonalization is
+    damp-independent over C too, so each damp's iterates are IDENTICAL to a
+    standalone solve with that damp (same fp operation order)."""
+    A, b, _ = _cproblem(rng)
+    damps = [0.0, 0.05, 0.5]
+    res = lt.lsqr_multidamp(A, b, damps, atol=1e-12, btol=1e-12)
+    resm = lt.lsmr_multidamp(A, b, damps, atol=1e-12, btol=1e-12)
+    for i, d in enumerate(damps):
+        ref = lt.lsqr(A, b, d, atol=1e-12, btol=1e-12)
+        assert int(res.itn[i]) == int(ref.itn)
+        np.testing.assert_array_equal(np.asarray(res.x[i]), np.asarray(ref.x))
+        refm = lt.lsmr(A, b, d, atol=1e-12, btol=1e-12)
+        assert int(resm.itn[i]) == int(refm.itn)
+        np.testing.assert_array_equal(np.asarray(resm.x[i]), np.asarray(refm.x))
