@@ -139,7 +139,7 @@ def lsqr_batch(
             f"B must have shape (batch, m={A.m}); got {B.shape}"
         )
     dtype = opts.dtype or (
-        B.dtype if jnp.issubdtype(B.dtype, jnp.floating) else None
+        B.dtype if jnp.issubdtype(B.dtype, jnp.inexact) else None
     )
     if dtype is None:
         from .config import default_dtype
@@ -147,7 +147,9 @@ def lsqr_batch(
         dtype = default_dtype()
     B = B.astype(dtype)
     batch = B.shape[0]
-    damp_arr = jnp.broadcast_to(jnp.asarray(damp, dtype), (batch,))
+    # damps are always real, also for complex problems (see solver._build)
+    rdt = jnp.zeros((), dtype).real.dtype
+    damp_arr = jnp.broadcast_to(jnp.asarray(damp, rdt), (batch,))
 
     itnlim = opts.resolve_itnlim(A.n)
     kwargs = dict(
@@ -163,9 +165,9 @@ def lsqr_batch(
         A,
         B,
         damp_arr,
-        jnp.asarray(opts.atol, dtype),
-        jnp.asarray(opts.btol, dtype),
-        jnp.asarray(opts.conlim, dtype),
+        jnp.asarray(opts.atol, rdt),
+        jnp.asarray(opts.btol, rdt),
+        jnp.asarray(opts.conlim, rdt),
     )
     if loop == "bounded":
         return _batch_bounded(
@@ -253,13 +255,15 @@ def _batch_setup(A, B, damp, m, n):
     B = jnp.asarray(B)
     if B.ndim != 2 or B.shape[1] != A.m:
         raise ValueError(f"B must have shape (batch, m={A.m}); got {B.shape}")
-    dtype = B.dtype if jnp.issubdtype(B.dtype, jnp.floating) else None
+    dtype = B.dtype if jnp.issubdtype(B.dtype, jnp.inexact) else None
     if dtype is None:
         from .config import default_dtype
 
         dtype = default_dtype()
     B = B.astype(dtype)
-    damp_arr = jnp.broadcast_to(jnp.asarray(damp, dtype), (B.shape[0],))
+    # damps are always real, also for complex problems (see solver._build)
+    rdt = jnp.zeros((), dtype).real.dtype
+    damp_arr = jnp.broadcast_to(jnp.asarray(damp, rdt), (B.shape[0],))
     return A, B, damp_arr, dtype
 
 
@@ -276,8 +280,9 @@ def lsmr_batch(A, B, damp=0.0, *, atol=1e-6, btol=1e-6, conlim=1e8,
         itnlim = min(int(A.m), int(A.n))
     if loop is None:
         loop = "bounded" if getattr(A, "prefers_bounded_loop", False) else "while"
-    scalars = (jnp.asarray(atol, dtype), jnp.asarray(btol, dtype),
-               jnp.asarray(conlim, dtype))
+    rdt = jnp.zeros((), dtype).real.dtype
+    scalars = (jnp.asarray(atol, rdt), jnp.asarray(btol, rdt),
+               jnp.asarray(conlim, rdt))
     so = dict(itnlim=int(itnlim), record_trace=False, safe_norms=safe_norms)
     return _sibling_batch(lsmr_mod._build)(
         A, B, damp_arr, scalars, itnlim=int(itnlim), seg_len=loop_segment,
@@ -296,7 +301,8 @@ def cgls_batch(A, B, damp=0.0, *, atol=1e-6, btol=1e-6, itnlim=None,
         itnlim = 4 * int(A.n)
     if loop is None:
         loop = "bounded" if getattr(A, "prefers_bounded_loop", False) else "while"
-    scalars = (jnp.asarray(atol, dtype), jnp.asarray(btol, dtype))
+    rdt = jnp.zeros((), dtype).real.dtype
+    scalars = (jnp.asarray(atol, rdt), jnp.asarray(btol, rdt))
     so = dict(itnlim=int(itnlim), safe_norms=safe_norms)
     return _sibling_batch(cgls_mod._build)(
         A, B, damp_arr, scalars, itnlim=int(itnlim), seg_len=loop_segment,

@@ -228,3 +228,31 @@ def test_multidamp_complex_bitwise_matches_standalone(rng):
         refm = lt.lsmr(A, b, d, atol=1e-12, btol=1e-12)
         assert int(resm.itn[i]) == int(refm.itn)
         np.testing.assert_array_equal(np.asarray(resm.x[i]), np.asarray(refm.x))
+
+
+def test_batch_complex_matches_sequential(rng):
+    from lsqr_tpu.batch import cgls_batch, lsmr_batch, lsqr_batch
+
+    m, n, nnz, k = 50, 30, 300, 3
+    r = rng.integers(0, m, nnz)
+    c = rng.integers(0, n, nnz)
+    v = rng.standard_normal(nnz) + 1j * rng.standard_normal(nnz)
+    A = lt.coo_operator(m, n, v, r, c)
+    B = rng.standard_normal((k, m)) + 1j * rng.standard_normal((k, m))
+    res = lsqr_batch(A, B, 0.05, atol=1e-12, btol=1e-12)
+    resm = lsmr_batch(A, B, 0.05, atol=1e-10, btol=1e-10)
+    resc = cgls_batch(A, B, 0.05, atol=1e-10, btol=1e-10)
+    for i in range(k):
+        ref = lt.lsqr(A, B[i], 0.05, atol=1e-12, btol=1e-12)
+        assert int(res.itn[i]) == int(ref.itn)
+        np.testing.assert_allclose(
+            np.asarray(res.x[i]), np.asarray(ref.x), atol=1e-12
+        )
+        refm = lt.lsmr(A, B[i], 0.05, atol=1e-10, btol=1e-10)
+        np.testing.assert_allclose(
+            np.asarray(resm.x[i]), np.asarray(refm.x), atol=1e-10
+        )
+        refc = lt.cgls(A, B[i], 0.05, atol=1e-10, btol=1e-10)
+        np.testing.assert_allclose(
+            np.asarray(resc.x[i]), np.asarray(refc.x), atol=1e-8
+        )
