@@ -141,6 +141,11 @@ def golub_kahan(A, b, k: int, *, reorth: bool = True,
     """
     A = as_operator(A)
     b = jnp.asarray(b)
+    if jnp.issubdtype(b.dtype, jnp.complexfloating):
+        raise TypeError(
+            "golub_kahan/hybrid_lsqr are real-only; the complex-capable "
+            "surface is the core solver family (docs/api.md §Complex)"
+        )
     if not jnp.issubdtype(b.dtype, jnp.floating):
         from .config import default_dtype
 

@@ -137,6 +137,12 @@ def lsqr_grad(A, b, damp=0.0, *, m=None, n=None, **options):
     A = as_operator(A, m=m, n=n)
     b = jnp.asarray(b)
     options.setdefault("atol", 1e-10)
+    if jnp.issubdtype(jnp.asarray(b).dtype, jnp.complexfloating):
+        raise TypeError(
+            "lsqr_grad is real-only; the complex-capable surface is the core "
+            "solver family (lsqr/lsmr/cgls/craig — see docs/api.md §Complex)"
+            
+        )
     options.setdefault("btol", 1e-10)
     options["loop"] = "while"  # bounded form is host-stepped (untraceable)
     opts = tuple(sorted(options.items()))

@@ -110,6 +110,12 @@ def lsrn_preconditioner(
     truncated (rank-deficient A) — default matches numpy.linalg.pinv's
     ``s * eps`` heuristic."""
     A = as_operator(A)
+    if jnp.issubdtype(jnp.dtype(getattr(A, "dtype", None) or jnp.float32),
+                      jnp.complexfloating):
+        raise TypeError(
+            "lsrn is real-only; the complex-capable surface is the core "
+            "solver family (docs/api.md §Complex)"
+        )
     if A.m < A.n:
         raise ValueError("lsrn_preconditioner expects m >= n; "
                          "use lsrn() which handles both orientations")
@@ -172,6 +178,11 @@ def lsrn(
     """
     A = as_operator(A)
     b = jnp.asarray(b)
+    if jnp.issubdtype(b.dtype, jnp.complexfloating):
+        raise TypeError(
+            "lsrn is real-only; the complex-capable surface is the core "
+            "solver family (docs/api.md §Complex)"
+        )
     if solver == "lsqr":
         from .solver import lsqr as _solve
     elif solver == "lsmr":

@@ -151,6 +151,12 @@ def lsqr_refined(
     """
     A = as_operator(A, m=m, n=n)
     damp = float(damp)
+    if jnp.issubdtype(jnp.asarray(b).dtype, jnp.complexfloating):
+        raise TypeError(
+            "lsqr_refined is real-only; the complex-capable surface is the core "
+            "solver family (lsqr/lsmr/cgls/craig — see docs/api.md §Complex)"
+            
+        )
     b64 = np.asarray(b, np.float64)
     if b64.ndim != 1 or b64.shape[0] != A.m:
         raise ValueError(f"b must have shape ({A.m},); got {b64.shape}")

@@ -82,10 +82,19 @@ def load_state(path: str, dtype=None, carry_cls=_Carry):
     siblings' checkpoints)."""
     data = np.load(path)
     kw = {}
+    if dtype is not None:
+        cdt = jnp.dtype(dtype)
+        # scalar recurrence fields are REAL even when the problem (and its
+        # vector fields) is complex — cast each saved field to its own
+        # counterpart of the requested dtype (see solver._build)
+        rdt = jnp.zeros((), cdt).real.dtype
     for f in carry_cls._fields:
         arr = jnp.asarray(data[f])
-        if dtype is not None and jnp.issubdtype(arr.dtype, jnp.floating):
-            arr = arr.astype(dtype)
+        if dtype is not None:
+            if jnp.issubdtype(arr.dtype, jnp.complexfloating):
+                arr = arr.astype(cdt)
+            elif jnp.issubdtype(arr.dtype, jnp.floating):
+                arr = arr.astype(rdt)
         kw[f] = arr
     return carry_cls(**kw)
 
@@ -122,7 +131,7 @@ def lsqr_checkpointed(
     A = as_operator(A, m=m, n=n)
     b = jnp.asarray(b)
     dtype = opts.dtype or (
-        b.dtype if jnp.issubdtype(b.dtype, jnp.floating) else None
+        b.dtype if jnp.issubdtype(b.dtype, jnp.inexact) else None
     )
     if dtype is None:
         from ..config import default_dtype
@@ -141,13 +150,14 @@ def lsqr_checkpointed(
         scalar_dtype=(str(jnp.dtype(opts.scalar_dtype))
                       if opts.scalar_dtype is not None else None),
     )
+    rdt = jnp.zeros((), dtype).real.dtype  # scalars are real for complex b
     args = (
         A,
         b,
-        jnp.asarray(damp, dtype),
-        jnp.asarray(opts.atol, dtype),
-        jnp.asarray(opts.btol, dtype),
-        jnp.asarray(opts.conlim, dtype),
+        jnp.asarray(damp, rdt),
+        jnp.asarray(opts.atol, rdt),
+        jnp.asarray(opts.btol, rdt),
+        jnp.asarray(opts.conlim, rdt),
     )
 
     carry = load_state(resume_from, dtype=dtype) if resume_from else None
@@ -224,7 +234,7 @@ def _sibling_setup(A, b, m, n, dtype=None):
     A = as_operator(A, m=m, n=n)
     b = jnp.asarray(b)
     if dtype is None:
-        dtype = (b.dtype if jnp.issubdtype(b.dtype, jnp.floating) else None)
+        dtype = (b.dtype if jnp.issubdtype(b.dtype, jnp.inexact) else None)
     if dtype is None:
         from ..config import default_dtype
 
@@ -248,8 +258,9 @@ def lsmr_checkpointed(
     A, b, dtype = _sibling_setup(A, b, m, n)
     if itnlim is None:
         itnlim = min(int(A.m), int(A.n))
-    args = (A, b, jnp.asarray(damp, dtype), jnp.asarray(atol, dtype),
-            jnp.asarray(btol, dtype), jnp.asarray(conlim, dtype))
+    rdt = jnp.zeros((), dtype).real.dtype
+    args = (A, b, jnp.asarray(damp, rdt), jnp.asarray(atol, rdt),
+            jnp.asarray(btol, rdt), jnp.asarray(conlim, rdt))
     so = dict(itnlim=int(itnlim), record_trace=False, safe_norms=safe_norms)
     return _run_checkpointed(
         lsmr_mod._build, args, so, int(itnlim),
@@ -273,8 +284,9 @@ def cgls_checkpointed(
     A, b, dtype = _sibling_setup(A, b, m, n)
     if itnlim is None:
         itnlim = 4 * int(A.n)
-    args = (A, b, jnp.asarray(damp, dtype), jnp.asarray(atol, dtype),
-            jnp.asarray(btol, dtype))
+    rdt = jnp.zeros((), dtype).real.dtype
+    args = (A, b, jnp.asarray(damp, rdt), jnp.asarray(atol, rdt),
+            jnp.asarray(btol, rdt))
     so = dict(itnlim=int(itnlim), safe_norms=safe_norms)
     return _run_checkpointed(
         cgls_mod._build, args, so, int(itnlim),

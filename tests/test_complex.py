@@ -256,3 +256,31 @@ def test_batch_complex_matches_sequential(rng):
         np.testing.assert_allclose(
             np.asarray(resc.x[i]), np.asarray(refc.x), atol=1e-8
         )
+
+
+def test_real_only_modules_raise_clear_errors(rng):
+    """The advanced modules (refinement, hybrid, LSRN, implicit diff) are
+    real-only; they must reject complex inputs with a pointer instead of
+    silently discarding imaginary parts."""
+    A, b, _ = _cproblem(rng, m=30, n=20)
+    for fn in (lt.lsqr_refined, lt.hybrid_lsqr, lt.lsrn, lt.lsqr_grad):
+        with pytest.raises(TypeError, match="real-only"):
+            fn(A, b)
+
+
+def test_checkpoint_resume_complex(rng, tmp_path):
+    """Segmented checkpoint/resume carries complex state bit-identically."""
+    from lsqr_tpu.utils.checkpoint import lsqr_checkpointed
+
+    A, b, damp = _cproblem(rng)
+    ref = lt.lsqr(A, b, damp, atol=1e-12, btol=1e-12)
+    path = str(tmp_path / "carry.npz")
+    res = lsqr_checkpointed(A, b, damp, segment_iters=7,
+                            checkpoint_path=path,
+                            atol=1e-12, btol=1e-12)
+    assert int(res.itn) == int(ref.itn)
+    np.testing.assert_array_equal(np.asarray(res.x), np.asarray(ref.x))
+    # resume from the persisted carry reproduces the same final state
+    res2 = lsqr_checkpointed(A, b, damp, segment_iters=7, resume_from=path,
+                             atol=1e-12, btol=1e-12)
+    np.testing.assert_array_equal(np.asarray(res2.x), np.asarray(ref.x))
