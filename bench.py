@@ -104,6 +104,29 @@ def relay_health(iters=10):
     return 2 * x.size * 4 / dt / 1e9
 
 
+def _time_chained(step, v0, iters):
+    """Time ``iters`` data-dependent calls of a jitted single step.
+
+    Measured 2026-08-19: wrapping Pallas kernels in a lax.fori_loop inflates
+    the remote (Mosaic) compile ~8x (66s vs 8s at m=262k) and at m >= 1M the
+    compile helper gets OOM-SIGKILLed — so the Pallas stages compile ONE
+    step and time eager chained dispatches instead (async dispatch pipelines
+    them on-device; the relay's per-dispatch cost makes this a slight
+    UNDERestimate of kernel throughput)."""
+    import time as _t
+
+    import jax.numpy as jnp
+
+    v = step(v0)
+    float(jnp.sum(v))  # warm + sync
+    t0 = _t.perf_counter()
+    v = v0
+    for _ in range(iters):
+        v = step(v)
+    float(jnp.sum(v))  # host fetch forces completion through the relay
+    return (_t.perf_counter() - t0) / iters
+
+
 def bench_tpu_pair(iters=30):
     """The fused product-pair kernel (ops/pallas_spmv.dia_pair): the
     matvec+rmatvec pair per step computed in ONE pass over the stripes —
@@ -113,26 +136,38 @@ def bench_tpu_pair(iters=30):
 
     from lsqr_tpu.ops.pallas_spmv import dia_pair
 
-    key = jax.random.PRNGKey(0)
+    data = jax.random.normal(jax.random.PRNGKey(0), (NDIAG, M), jnp.float32)
 
     @jax.jit
-    def run(key):
-        data = jax.random.normal(key, (NDIAG, M), jnp.float32)
+    def step(v):
+        u, z = dia_pair(data, v, v, 1.0, 0.0, offsets=OFFSETS, m=M, n=M)
+        return z * 1e-9
 
-        def body(i, v):
-            u, z = dia_pair(data, v, v, 1.0, 0.0, offsets=OFFSETS, m=M, n=M)
-            return z * 1e-9
-
-        v = jax.lax.fori_loop(0, iters, body, jnp.ones((M,), jnp.float32))
-        return jnp.sum(v)
-
-    float(run(key))  # compile + warm
-    t0 = time.perf_counter()
-    float(run(key))  # host fetch forces completion through the relay
-    return (time.perf_counter() - t0) / iters
+    return _time_chained(step, jnp.ones((M,), jnp.float32), iters)
 
 
 def bench_tpu_separate(iters=30):
+    """Separate Pallas matvec + rmatvec kernels (two stripe passes)."""
+    import jax
+    import jax.numpy as jnp
+
+    from lsqr_tpu.ops.structured import dia_operator_device
+
+    data = jax.random.normal(jax.random.PRNGKey(0), (NDIAG, M), jnp.float32)
+    A = dia_operator_device(M, M, OFFSETS, data)
+
+    @jax.jit
+    def step(x):
+        return A.rmatvec(A.matvec(x)) * 1e-9
+
+    return _time_chained(step, jnp.ones((M,), jnp.float32), iters)
+
+
+def bench_tpu_xla(iters=30):
+    """XLA-only DIA path (use_pallas=False): the reliable fallback when the
+    remote Mosaic compile path is unavailable (the fori-of-XLA program
+    compiles in ~10s and never touches the Pallas compile helper).
+    Measured ~12-16 Gnnz/s at 8M vs ~67 for the Pallas pair."""
     import jax
     import jax.numpy as jnp
 
@@ -143,12 +178,10 @@ def bench_tpu_separate(iters=30):
     @jax.jit
     def run(key):
         data = jax.random.normal(key, (NDIAG, M), jnp.float32)
-        A = dia_operator_device(M, M, OFFSETS, data)
+        A = dia_operator_device(M, M, OFFSETS, data, use_pallas=False)
 
         def body(i, x):
-            y = A.matvec(x)
-            z = A.rmatvec(y)
-            return z * 1e-9
+            return A.rmatvec(A.matvec(x)) * 1e-9
 
         x = jax.lax.fori_loop(0, iters, body, jnp.ones((M,), jnp.float32))
         return jnp.sum(x)
@@ -172,7 +205,15 @@ def child_main(done):
         except Exception as e:
             _emit("error", error=f"health: {type(e).__name__}: {e}"[:200])
             return 0
-    # Headline stage first so a later wedge cannot erase it.
+    # XLA fallback first: it avoids the (fragile) Mosaic remote-compile
+    # helper entirely, so SOME real kernel number is banked before the
+    # Pallas stages risk a wedge.
+    if "xla" not in done:
+        try:
+            dt = bench_tpu_xla()
+            _emit("xla", gnnz=round(2 * NNZ / dt / 1e9, 2))
+        except Exception as e:
+            _emit("error", error=f"xla: {type(e).__name__}: {e}"[:200])
     if "pair" not in done:
         try:
             dt = bench_tpu_pair()
@@ -292,7 +333,7 @@ def parent_main():
     gnnz_cpu = 0.0
     for attempt in range(TPU_MAX_ATTEMPTS):
         done = set(stages)
-        if {"health", "pair", "separate"} <= done:
+        if {"health", "xla", "pair", "separate"} <= done:
             break
         budget = min(TPU_ATTEMPT_BUDGET_S, deadline - time.monotonic())
         if budget < 30:
@@ -325,7 +366,8 @@ def parent_main():
 
     gnnz_pair = stages.get("pair", {}).get("gnnz", 0.0)
     gnnz_sep = stages.get("separate", {}).get("gnnz", 0.0)
-    gnnz_tpu = max(gnnz_pair, gnnz_sep)
+    gnnz_xla = stages.get("xla", {}).get("gnnz", 0.0)
+    gnnz_tpu = max(gnnz_pair, gnnz_sep, gnnz_xla)
     record = {
         "metric": "spmv_pair_throughput_banded_88Mnnz_f32",
         "value": round(gnnz_tpu, 2),
@@ -334,6 +376,7 @@ def parent_main():
         "relay_health_gbs": stages.get("health", {}).get("gbs", 0),
         "separate_kernels_gnnz": gnnz_sep,
         "pair_kernel_gnnz": gnnz_pair,
+        "xla_fallback_gnnz": gnnz_xla,
         "cpu_baseline_gnnz": round(gnnz_cpu, 2),
     }
     if errors:
