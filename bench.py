@@ -163,11 +163,13 @@ def bench_tpu_separate(iters=30):
     return _time_chained(step, jnp.ones((M,), jnp.float32), iters)
 
 
-def bench_tpu_xla(iters=30):
-    """XLA-only DIA path (use_pallas=False): the reliable fallback when the
-    remote Mosaic compile path is unavailable (the fori-of-XLA program
-    compiles in ~10s and never touches the Pallas compile helper).
-    Measured ~12-16 Gnnz/s at 8M vs ~67 for the Pallas pair."""
+def bench_tpu_xla(iters=30, storage_dtype=None):
+    """Blocked-XLA DIA path (use_pallas=False): the reliable path that never
+    touches the (fragile) Mosaic compile helper — the fori-of-XLA program
+    compiles in ~10s. The blocked formulation is bandwidth-saturated
+    (BENCHMARKS.md round 3): 18.5 Gnnz/s f32 / 31 Gnnz/s bf16-stripes at the
+    degraded-relay ceiling. ``storage_dtype='bfloat16'`` halves stripe
+    traffic (f32 accumulation; matrix entries rounded to bf16)."""
     import jax
     import jax.numpy as jnp
 
@@ -178,7 +180,8 @@ def bench_tpu_xla(iters=30):
     @jax.jit
     def run(key):
         data = jax.random.normal(key, (NDIAG, M), jnp.float32)
-        A = dia_operator_device(M, M, OFFSETS, data, use_pallas=False)
+        A = dia_operator_device(M, M, OFFSETS, data, use_pallas=False,
+                                storage_dtype=storage_dtype)
 
         def body(i, x):
             return A.rmatvec(A.matvec(x)) * 1e-9
@@ -214,6 +217,14 @@ def child_main(done):
             _emit("xla", gnnz=round(2 * NNZ / dt / 1e9, 2))
         except Exception as e:
             _emit("error", error=f"xla: {type(e).__name__}: {e}"[:200])
+    if "xla_bf16" not in done:
+        # informational (bf16 matrix storage is a different precision mode,
+        # so it does NOT feed the f32 headline value)
+        try:
+            dt = bench_tpu_xla(storage_dtype="bfloat16")
+            _emit("xla_bf16", gnnz=round(2 * NNZ / dt / 1e9, 2))
+        except Exception as e:
+            _emit("error", error=f"xla_bf16: {type(e).__name__}: {e}"[:200])
     if "pair" not in done:
         try:
             dt = bench_tpu_pair()
@@ -333,7 +344,7 @@ def parent_main():
     gnnz_cpu = 0.0
     for attempt in range(TPU_MAX_ATTEMPTS):
         done = set(stages)
-        if {"health", "xla", "pair", "separate"} <= done:
+        if {"health", "xla", "xla_bf16", "pair", "separate"} <= done:
             break
         budget = min(TPU_ATTEMPT_BUDGET_S, deadline - time.monotonic())
         if budget < 30:
@@ -367,6 +378,7 @@ def parent_main():
     gnnz_pair = stages.get("pair", {}).get("gnnz", 0.0)
     gnnz_sep = stages.get("separate", {}).get("gnnz", 0.0)
     gnnz_xla = stages.get("xla", {}).get("gnnz", 0.0)
+    gnnz_xla_bf16 = stages.get("xla_bf16", {}).get("gnnz", 0.0)
     gnnz_tpu = max(gnnz_pair, gnnz_sep, gnnz_xla)
     record = {
         "metric": "spmv_pair_throughput_banded_88Mnnz_f32",
@@ -377,6 +389,7 @@ def parent_main():
         "separate_kernels_gnnz": gnnz_sep,
         "pair_kernel_gnnz": gnnz_pair,
         "xla_fallback_gnnz": gnnz_xla,
+        "xla_bf16_storage_gnnz": gnnz_xla_bf16,
         "cpu_baseline_gnnz": round(gnnz_cpu, 2),
     }
     if errors:

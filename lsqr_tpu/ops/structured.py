@@ -210,21 +210,63 @@ class DIAOperator(LinearOperator):
         return dense
 
 
+#: block size for the large-m XLA DIA path (elements). At whole-vector
+#: sizes XLA stops fusing the shift-FMA chain and materializes every
+#: intermediate (measured 12.5 ms/pair at m=8M vs ~1 ms of streaming);
+#: statically-unrolled block slices keep each fused chain inside XLA's
+#: fusion budget. Swept on v5e at m=8M/11diag: 256k ~= 128k ~= 64k >
+#: 512k > 2M; at 256k the path saturates the measured memory bandwidth
+#: (traffic/time == the elementwise streaming rate), so it is
+#: bandwidth-optimal for the 2-pass (no-pair) formulation.
+_XLA_DIA_BLOCK = 256 * 1024
+
+
 def _dia_matvec_xla(data, x, offsets, m, n):
-    """Pure-XLA DIA SpMV: one statically shifted slice + FMA per diagonal
+    """Pure-XLA DIA SpMV: statically shifted slice + FMA per diagonal
     (fallback / oracle for the Pallas kernel). bf16 stripes accumulate in
-    f32 (the convert fuses into the FMA — HBM traffic stays bf16)."""
+    f32 (the convert fuses into the FMA — HBM traffic stays bf16).
+
+    For large m the product is computed in statically-unrolled blocks —
+    the per-element FMA order (sum over diagonals in offset order) is
+    IDENTICAL to the whole-vector form, so results are bitwise equal; the
+    blocking exists purely so XLA keeps each shift-FMA chain in one fusion
+    instead of materializing whole-vector intermediates (measured ~5x on
+    v5e at m=8M, and it avoids the Pallas/Mosaic compile path entirely)."""
     ks = offsets or (0,)
     lo = max(0, -min(ks))                 # slice start lo + k >= 0
     hi = max(0, m + max(ks) - n)          # slice end lo + k + m fits
     acc_dt = jnp.float32 if data.dtype == jnp.bfloat16 else data.dtype
-    xp = jnp.zeros((lo + n + hi,), x.dtype).at[lo : lo + n].set(x)
-    y = jnp.zeros((m,), acc_dt)
-    for j, k in enumerate(offsets):
-        y = y + data[j].astype(acc_dt) * jax.lax.dynamic_slice(
-            xp, (lo + k,), (m,)
-        ).astype(acc_dt)
-    return y
+
+    if m <= _XLA_DIA_BLOCK or not offsets:
+        xp = jnp.zeros((lo + n + hi,), x.dtype).at[lo : lo + n].set(x)
+        y = jnp.zeros((m,), acc_dt)
+        for j, k in enumerate(offsets):
+            y = y + data[j].astype(acc_dt) * jax.lax.dynamic_slice(
+                xp, (lo + k,), (m,)
+            ).astype(acc_dt)
+        return y
+
+    block = _XLA_DIA_BLOCK
+    nb = -(-m // block)
+    mp = nb * block
+    kmax = max(0, max(ks))
+    # xp holds x at [lo, lo+n); reads go up to lo + kmax + mp
+    xp_len = lo + max(n, mp + kmax)
+    xp = jnp.zeros((xp_len,), x.dtype).at[lo : lo + n].set(x)
+    dp = data
+    if mp != m:
+        dp = jnp.pad(data, ((0, 0), (0, mp - m)))
+    outs = []
+    for b in range(nb):
+        s = b * block
+        yb = jnp.zeros((block,), acc_dt)
+        for j, k in enumerate(offsets):
+            yb = yb + dp[j, s : s + block].astype(acc_dt) * jax.lax.slice(
+                xp, (lo + k + s,), (lo + k + s + block,)
+            ).astype(acc_dt)
+        outs.append(yb)
+    y = jnp.concatenate(outs)
+    return y[:m] if mp != m else y
 
 
 def dia_operator_device(
