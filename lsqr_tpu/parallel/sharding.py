@@ -807,8 +807,14 @@ class _Local2DShard(LinearOperator):
         return jax.lax.psum(partial_, self.axis_n)
 
     def rmatvec(self, y: jax.Array) -> jax.Array:
+        # adjoint: conjugate transpose for complex values (see _LocalRowShard)
+        vals = (
+            jnp.conj(self.vals)
+            if jnp.issubdtype(self.vals.dtype, jnp.complexfloating)
+            else self.vals
+        )
         partial_ = jax.ops.segment_sum(
-            self.vals * y[self.rows], self.cols, num_segments=self.n
+            vals * y[self.rows], self.cols, num_segments=self.n
         )
         return jax.lax.psum(partial_, self.axis_m)
 

@@ -284,3 +284,25 @@ def test_checkpoint_resume_complex(rng, tmp_path):
     res2 = lsqr_checkpointed(A, b, damp, segment_iters=7, resume_from=path,
                              atol=1e-12, btol=1e-12)
     np.testing.assert_array_equal(np.asarray(res2.x), np.asarray(ref.x))
+
+
+def test_complex_sharded_2d_matches_unsharded(rng):
+    """2-D (rows x cols) block-partitioned complex solve: the conjugated
+    local transpose products + the three per-iteration psums reproduce the
+    unsharded answer with x/v/w sharded over 'cols'."""
+    from lsqr_tpu.parallel.sharding import lsqr_sharded_2d, make_mesh_2d
+
+    m, n, nnz = 96, 64, 600
+    r = rng.integers(0, m, nnz)
+    c = rng.integers(0, n, nnz)
+    v = rng.standard_normal(nnz) + 1j * rng.standard_normal(nnz)
+    A = lt.coo_operator(m, n, v, r, c)
+    b = rng.standard_normal(m) + 1j * rng.standard_normal(m)
+    ref = lt.lsqr(A, b, 0.1, itnlim=25, atol=0.0, btol=0.0, conlim=0.0)
+    res = lsqr_sharded_2d(A, b, 0.1, mesh=make_mesh_2d((2, 4)), itnlim=25,
+                          atol=0.0, btol=0.0, conlim=0.0, wantse=True)
+    assert int(res.itn) == int(ref.itn)
+    assert not np.iscomplexobj(np.asarray(res.se))
+    np.testing.assert_allclose(
+        np.asarray(res.x), np.asarray(ref.x), rtol=1e-7, atol=1e-9
+    )
