@@ -27,7 +27,9 @@ from .ops.compose import (
     DiagonalOperator,
     HStackOperator,
     ScaledOperator,
+    SumOperator,
     VStackOperator,
+    add_operators,
     diagonal_operator,
     hstack_operators,
     scale_operator,
@@ -67,6 +69,7 @@ from .ops.structured import (
     block_ell_operator,
     dia_operator,
     dia_shared_operator,
+    hyb_operator,
     ell_operator,
 )
 from .cgls import CGLS_ISTOP_MESSAGES, CGLSResult, cgls
@@ -147,6 +150,7 @@ __all__ = [
     "BlockELLOperator",
     "dia_operator",
     "dia_shared_operator",
+    "hyb_operator",
     "ell_operator",
     "block_ell_operator",
     "ComposedOperator",

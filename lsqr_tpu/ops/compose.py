@@ -29,10 +29,12 @@ __all__ = [
     "HStackOperator",
     "ScaledOperator",
     "DiagonalOperator",
+    "SumOperator",
     "vstack_operators",
     "hstack_operators",
     "scale_operator",
     "diagonal_operator",
+    "add_operators",
     "tikhonov",
 ]
 
@@ -167,6 +169,64 @@ class DiagonalOperator(LinearOperator):
 
     def todense(self) -> jax.Array:
         return jnp.diag(self.d)
+
+
+@jax.tree_util.register_dataclass
+@dataclasses.dataclass(frozen=True)
+class SumOperator(LinearOperator):
+    """A_1 + A_2 + ... (all blocks share the full (m, n) shape).
+
+    The storage-format composition primitive: a matrix split by ENTRY
+    (not by row/column block) into parts that each keep their own fast
+    product path — e.g. the HYB format (bounded-width ELL + COO spill,
+    :func:`lsqr_tpu.ops.structured.hyb_operator`), or a banded core plus a
+    few dense rows. Products are the sums of the part products; the adjoint
+    is the sum of the part adjoints (conj handled by each part)."""
+
+    ops: tuple  # of LinearOperator (pytree children)
+    m: int = dataclasses.field(metadata=dict(static=True))
+    n: int = dataclasses.field(metadata=dict(static=True))
+
+    @property
+    def dtype(self):
+        return self.ops[0].dtype
+
+    @property
+    def nnz(self):
+        return sum(int(getattr(op, "nnz", op.m * op.n)) for op in self.ops)
+
+    def matvec(self, x: jax.Array) -> jax.Array:
+        out = self.ops[0].matvec(x)
+        for op in self.ops[1:]:
+            out = out + op.matvec(x)
+        return out
+
+    def rmatvec(self, y: jax.Array) -> jax.Array:
+        out = self.ops[0].rmatvec(y)
+        for op in self.ops[1:]:
+            out = out + op.rmatvec(y)
+        return out
+
+    def todense(self) -> jax.Array:
+        out = self.ops[0].todense()
+        for op in self.ops[1:]:
+            out = out + op.todense()
+        return out
+
+
+def add_operators(ops: Sequence) -> SumOperator:
+    """A_1 + A_2 + ... — all blocks must share the same (m, n) shape."""
+    ops = tuple(as_operator(op) for op in ops)
+    if not ops:
+        raise ValueError("need at least one operator")
+    m, n = ops[0].m, ops[0].n
+    for op in ops:
+        if (op.m, op.n) != (m, n):
+            raise ValueError(
+                f"summed operators must share (m, n): got "
+                f"{[(o.m, o.n) for o in ops]}"
+            )
+    return SumOperator(ops=ops, m=m, n=n)
 
 
 def vstack_operators(ops: Sequence) -> VStackOperator:

@@ -238,7 +238,12 @@ def auto_operator(m, n, vals, rows, cols, *, dtype=None,
             m, n, vals_np, rows_np, cols_np, block=(128, 128), dtype=dtype
         )
     except ValueError:
-        return ell_operator(m, n, vals_np, rows_np, cols_np, dtype=dtype)
+        # HYB fallback: bounded-width ELL + COO spill — degenerates to pure
+        # ELL when the row-length distribution is flat, and caps the padded
+        # width when it is power-law (the documented ELL blowup case)
+        from .structured import hyb_operator
+
+        return hyb_operator(m, n, vals_np, rows_np, cols_np, dtype=dtype)
 
 
 def lsmr_scipy(

@@ -40,6 +40,7 @@ __all__ = [
     "dia_shared_operator",
     "ELLOperator",
     "ell_operator",
+    "hyb_operator",
     "BlockELLOperator",
     "block_ell_operator",
 ]
@@ -616,6 +617,62 @@ def ell_operator(m, n, vals, rows, cols, *, dtype=None) -> ELLOperator:
         m=int(m),
         n=int(n),
     )
+
+
+def hyb_operator(m, n, vals, rows, cols, *, width=None, dtype=None):
+    """HYB (hybrid ELL + COO) operator for POWER-LAW row distributions.
+
+    The classic failure mode of pure ELL is a few heavy rows inflating the
+    padded width for every row (the reason ``auto_operator`` documents a
+    padding blowup for true power-law patterns). HYB caps the ELL width:
+    each row's first ``width`` entries go to the streaming ELL part, the
+    heavy-row spill becomes a (small) COO remainder handled by
+    segment-sum — composed with :class:`~lsqr_tpu.ops.compose.SumOperator`
+    so each part keeps its own product path. Reference anchor: the COO
+    scatter kernels this bounds, lsqr.f90:168-172, 188-192.
+
+    ``width=None`` picks the cost-balanced width: the smallest w where the
+    padded ELL volume m*w plus SPILL_COST x the spilled entries stops
+    improving (scattered entries cost ~an order of magnitude more than
+    streamed ones on TPU — BENCHMARKS.md's 0.1 vs >10 Gnnz/s).
+    """
+    from .compose import add_operators
+    from .coo import coo_operator
+
+    vals = np.asarray(vals, dtype=dtype if dtype else None)
+    rows = np.asarray(rows)
+    cols = np.asarray(cols)
+    if vals.size == 0:
+        return coo_operator(m, n, vals, rows, cols, dtype=dtype)
+
+    order = np.lexsort((cols, rows))
+    rows_s, cols_s, vals_s = rows[order], cols[order], vals[order]
+    counts = np.bincount(rows_s, minlength=m)
+    row_start = np.concatenate([[0], np.cumsum(counts)[:-1]])
+    rank = np.arange(len(vals_s)) - np.repeat(row_start, counts)
+
+    if width is None:
+        SPILL_COST = 8  # scatter-entry cost multiple vs streamed (measured ~10x)
+        wmax = int(counts.max())
+        best_w, best_cost = wmax, m * wmax
+        # spilled(w) = sum(max(counts - w, 0)) — evaluate on the distinct
+        # row lengths only
+        for w in np.unique(counts[counts > 0]):
+            w = int(w)
+            spilled = int(np.maximum(counts - w, 0).sum())
+            cost = m * w + SPILL_COST * spilled
+            if cost < best_cost:
+                best_w, best_cost = w, cost
+        width = max(1, best_w)
+
+    main = rank < width
+    E = ell_operator(m, n, vals_s[main], rows_s[main], cols_s[main],
+                     dtype=dtype)
+    if bool(np.all(main)):
+        return E
+    C = coo_operator(m, n, vals_s[~main], rows_s[~main], cols_s[~main],
+                     dtype=dtype)
+    return add_operators([E, C])
 
 
 # ---------------------------------------------------------------------------

@@ -121,3 +121,92 @@ def test_stacked_structured_blocks(rng):
     ref = np.linalg.lstsq(dense, b, rcond=None)[0]
     res = lt.lsqr(S, b, atol=1e-12, btol=1e-12)
     np.testing.assert_allclose(np.asarray(res.x), ref, rtol=1e-6, atol=1e-8)
+
+
+# ---------------------------------------------------------------------------
+# SumOperator / HYB (bounded-width ELL + COO spill)
+# ---------------------------------------------------------------------------
+
+def _powerlaw_coo(rng, m=300, n=200):
+    """A power-law row-length distribution: most rows have ~3 entries, a
+    few have ~n/2 — the documented ELL padding-blowup case."""
+    rows, cols, vals = [], [], []
+    for i in range(m):
+        k = 3 if i % 50 else n // 2
+        c = rng.choice(n, k, replace=False)
+        rows.extend([i] * k)
+        cols.extend(c.tolist())
+        vals.extend(rng.standard_normal(k).tolist())
+    rows = np.array(rows)
+    cols = np.array(cols)
+    vals = np.array(vals)
+    dense = np.zeros((m, n))
+    np.add.at(dense, (rows, cols), vals)
+    return rows, cols, vals, dense
+
+
+def test_sum_operator_products_and_acheck(rng):
+    from lsqr_tpu.ops.compose import add_operators
+
+    m, n = 40, 30
+    A1 = rng.standard_normal((m, n))
+    A2 = rng.standard_normal((m, n))
+    op = add_operators([A1, A2])
+    x = rng.standard_normal(n)
+    y = rng.standard_normal(m)
+    np.testing.assert_allclose(np.asarray(op.matvec(x)), (A1 + A2) @ x,
+                               rtol=1e-12)
+    np.testing.assert_allclose(np.asarray(op.rmatvec(y)), (A1 + A2).T @ y,
+                               rtol=1e-12)
+    assert int(lt.acheck(op).inform) == 0
+    with pytest.raises(ValueError, match="share"):
+        add_operators([A1, rng.standard_normal((m, n + 1))])
+
+
+def test_hyb_operator_matches_dense_and_solves(rng):
+    from lsqr_tpu.ops.compose import SumOperator
+    from lsqr_tpu.ops.structured import hyb_operator
+
+    rows, cols, vals, dense = _powerlaw_coo(rng)
+    m, n = dense.shape
+    A = hyb_operator(m, n, vals, rows, cols)
+    assert isinstance(A, SumOperator)  # heavy rows spilled to COO
+    # the ELL part's padded width is bounded, not max-row-length
+    ell = A.ops[0]
+    assert ell.vals.shape[1] < n // 2
+    x = rng.standard_normal(n)
+    y = rng.standard_normal(m)
+    np.testing.assert_allclose(np.asarray(A.matvec(x)), dense @ x, rtol=1e-10)
+    np.testing.assert_allclose(np.asarray(A.rmatvec(y)), dense.T @ y,
+                               rtol=1e-10)
+    b = rng.standard_normal(m)
+    res = lt.lsqr(A, b, 0.1, atol=1e-10, btol=1e-10)
+    import scipy.sparse
+    import scipy.sparse.linalg
+
+    ref = scipy.sparse.linalg.lsqr(
+        scipy.sparse.csr_matrix(dense), b, damp=0.1, atol=1e-10, btol=1e-10
+    )
+    np.testing.assert_allclose(np.asarray(res.x), ref[0], atol=1e-7)
+
+
+def test_hyb_flat_rows_degenerates_to_pure_ell(rng):
+    from lsqr_tpu.ops.structured import ELLOperator, hyb_operator
+
+    m, n, k = 100, 80, 4
+    rows = np.repeat(np.arange(m), k)
+    cols = rng.integers(0, n, m * k)
+    vals = rng.standard_normal(m * k)
+    A = hyb_operator(m, n, vals, rows, cols)
+    assert isinstance(A, ELLOperator)  # no spill for a flat distribution
+
+
+def test_auto_operator_routes_powerlaw_to_hyb(rng):
+    from lsqr_tpu.ops.compose import SumOperator
+
+    rows, cols, vals, dense = _powerlaw_coo(rng)
+    m, n = dense.shape
+    A = lt.auto_operator(m, n, vals, rows, cols)
+    assert isinstance(A, SumOperator)
+    x = rng.standard_normal(n)
+    np.testing.assert_allclose(np.asarray(A.matvec(x)), dense @ x, rtol=1e-10)

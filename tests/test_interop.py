@@ -49,13 +49,24 @@ def test_from_scipy_rectangular_dia(rng):
 
 
 def test_auto_operator_fallback_ell(rng):
-    # uniform random pattern: not banded, not blocky -> ELL
+    # uniform random pattern: not banded, not blocky -> the HYB fallback
+    # (bounded-width ELL, possibly with a COO spill remainder when the
+    # cost-balanced width beats padding every row to the max length)
+    from lsqr_tpu.ops.compose import SumOperator
+    from lsqr_tpu.ops.coo import COOOperator
+
     m, n, nnz = 3000, 2000, 4000
     rows = rng.integers(0, m, nnz)
     cols = rng.integers(0, n, nnz)
     vals = rng.standard_normal(nnz)
     op = auto_operator(m, n, vals, rows, cols)
-    assert isinstance(op, ELLOperator)
+    if isinstance(op, SumOperator):
+        assert isinstance(op.ops[0], ELLOperator)
+        assert isinstance(op.ops[1], COOOperator)
+        # the spill is the tail, not the bulk
+        assert op.ops[1].nnz < nnz // 4
+    else:
+        assert isinstance(op, ELLOperator)
     S = scipy.sparse.coo_matrix((vals, (rows, cols)), shape=(m, n)).tocsr()
     _check_matches(op, S, rng)
 
