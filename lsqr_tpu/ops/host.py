@@ -221,11 +221,14 @@ def to_scipy(A, *, dtype=np.float64, dense_limit: int = 1 << 25):
 
 
 def host_products(A, *, dtype=np.float64, dense_limit: int = 1 << 25):
-    """Return ``(matvec, rmatvec)`` numpy float64 closures applying the
-    operator's stored matrix on the host — the high-precision residual
-    evaluator for :func:`lsqr_tpu.refine.lsqr_refined`."""
+    """Return ``(matvec, rmatvec)`` numpy closures (default float64)
+    applying the operator's stored matrix on the host — the high-precision
+    residual evaluator for :func:`lsqr_tpu.refine.lsqr_refined`. For a
+    complex ``dtype`` the rmatvec is the conjugate transpose (adjoint)."""
     sp_a = to_scipy(A, dtype=dtype, dense_limit=dense_limit)
     sp_at = sp_a.T.tocsr()
+    if np.issubdtype(np.dtype(dtype), np.complexfloating):
+        sp_at = sp_a.conj().T.tocsr()
 
     def matvec(x):
         return sp_a @ np.asarray(x, dtype)

@@ -134,7 +134,9 @@ def svd_truncated_preconditioner(S, rcond: Optional[float] = None):
     if rcond is None:
         rcond = max(S.shape) * np.finfo(S.dtype).eps
     r = int(np.sum(sig > rcond * sig[0]))
-    return Vt[:r].T / sig[:r], r
+    # conj-transpose: identity for real sketches, required for complex
+    # (lsqr_refined's complex preconditioning path)
+    return Vt[:r].conj().T / sig[:r], r
 
 
 def lsrn(

@@ -151,13 +151,16 @@ def lsqr_refined(
     """
     A = as_operator(A, m=m, n=n)
     damp = float(damp)
-    if jnp.issubdtype(jnp.asarray(b).dtype, jnp.complexfloating):
-        raise TypeError(
-            "lsqr_refined is real-only; the complex-capable surface is the core "
-            "solver family (lsqr/lsmr/cgls/craig — see docs/api.md §Complex)"
-            
-        )
-    b64 = np.asarray(b, np.float64)
+    # Complex problems refine the same way (the augmented optimality system
+    # over C reads r + A x = b, A^H r = damp^2 x — host state complex128,
+    # inner solves complex64); the scalar contraction/stopping logic is
+    # identical because every monitored quantity is a norm.
+    _adt0 = getattr(A, "dtype", None)
+    is_complex = jnp.issubdtype(jnp.asarray(b).dtype, jnp.complexfloating) or (
+        _adt0 is not None and jnp.issubdtype(jnp.dtype(_adt0), jnp.complexfloating)
+    )
+    hdtype = np.complex128 if is_complex else np.float64
+    b64 = np.asarray(b, hdtype)
     if b64.ndim != 1 or b64.shape[0] != A.m:
         raise ValueError(f"b must have shape ({A.m},); got {b64.shape}")
     inner = _inner_fn(solver)
@@ -172,7 +175,7 @@ def lsqr_refined(
     if host_matvec is None or host_rmatvec is None:
         from .ops.host import host_products
 
-        hmv, hrmv = host_products(A, dense_limit=dense_limit)
+        hmv, hrmv = host_products(A, dtype=hdtype, dense_limit=dense_limit)
         host_matvec = host_matvec or hmv
         host_rmatvec = host_rmatvec or hrmv
 
@@ -180,6 +183,10 @@ def lsqr_refined(
     # CallbackOperator has dtype=None (np.dtype(None) would silently mean
     # f64): default to the f32 device working precision
     wdtype = np.dtype(_adt) if _adt is not None else np.dtype(np.float32)
+    if is_complex and not np.issubdtype(wdtype, np.complexfloating):
+        # complex b over a real stored matrix: the device solves carry
+        # complex vectors in the matching complex working precision
+        wdtype = np.result_type(wdtype, np.complex64)
     if damp != 0.0:
         from .ops.compose import diagonal_operator, vstack_operators
 
@@ -211,7 +218,13 @@ def lsqr_refined(
         M = S.m
         # cap each Gaussian chunk at ~200 MB of f64 (m can be 1e7+)
         chunk_rows = max(1, min(256, 25_000_000 // max(M, 1)))
-        sk = np.empty((s_rows, A.n), np.float64)
+        sk = np.empty((s_rows, A.n), hdtype)
+
+        def _gauss(shape):
+            g = rng.standard_normal(shape)
+            if is_complex:  # complex Gaussian (unitary-invariant sketch)
+                g = (g + 1j * rng.standard_normal(shape)) / np.sqrt(2.0)
+            return g
 
         def s_rmv(y):
             if damp == 0.0:
@@ -229,19 +242,23 @@ def lsqr_refined(
             try:
                 from .ops.host import to_scipy
 
-                Sh = to_scipy(S, dense_limit=dense_limit)
+                Sh = to_scipy(S, dtype=hdtype, dense_limit=dense_limit)
             except NotImplementedError:
                 Sh = None
         if Sh is not None:
+            # rows of G @ S via the NON-conjugate transpose (also for
+            # complex: the sketch is the literal product G S)
             ShT = Sh.T.tocsr()
             for lo in range(0, s_rows, chunk_rows):
                 hi = min(lo + chunk_rows, s_rows)
-                G = rng.standard_normal((hi - lo, M))
+                G = _gauss((hi - lo, M))
                 sk[lo:hi] = (ShT @ G.T).T
         else:
-            # truth via the host closures: sketch row i = (S' g_i)'
+            # truth via the host closures: row i of G S = conj(S^H conj(g_i))
+            # (s_rmv is the ADJOINT product; the conj pair makes it the
+            # plain transpose — both conj are identities for real)
             for i in range(s_rows):
-                sk[i] = s_rmv(rng.standard_normal(M))
+                sk[i] = np.conj(s_rmv(np.conj(_gauss(M))))
         N64, r = svd_truncated_preconditioner(sk)
         if M * r <= (1 << 28):
             # FOLD the preconditioner: B = fl32(S N) computed in f64 on the
@@ -255,7 +272,7 @@ def lsqr_refined(
             if Sh is not None:
                 Bh = Sh @ N64
             else:
-                Bh = np.empty((M, r), np.float64)
+                Bh = np.empty((M, r), hdtype)
                 for j in range(r):
                     Bh[:, j] = s_mv(N64[:, j])
             B = DenseOperator(jnp.asarray(Bh, wdtype))
@@ -281,7 +298,8 @@ def lsqr_refined(
         elif float(np.linalg.norm(g)) > 0.0:
             # w = argmin ||A' w + g||  (compatible: g in range(A')); with
             # the preconditioner, the SAME w solves min ||B' w + N'g||
-            gw = -(N64.T @ g) if B is not None else -g
+            # (N' = conj-transpose for complex; conj is a no-op for real)
+            gw = -(N64.conj().T @ g) if B is not None else -g
             op_t = (B if B is not None else S).T
             # the w-solve is a structural sub-problem (under-determined,
             # compatible). A callable solver handles it (it may carry
@@ -297,13 +315,13 @@ def lsqr_refined(
             res_w = _aux(op_t, jnp.asarray(gw.astype(wdtype)), 0.0,
                          **inner_kwargs)
             res_list.append(res_w)
-            rhs = f + np.asarray(res_w.x, np.float64)
+            rhs = f + np.asarray(res_w.x, hdtype)
         else:
             rhs = f
         op = B if B is not None else S
         res = inner(op, jnp.asarray(rhs.astype(wdtype)), 0.0, **inner_kwargs)
         res_list.append(res)
-        dy = np.asarray(res.x, np.float64)
+        dy = np.asarray(res.x, hdtype)
         dx = N64 @ dy if B is not None else dy
         return dx, res_list
 
@@ -316,14 +334,14 @@ def lsqr_refined(
         # minimum-norm solution. Per cycle: f = b - A x (f64);
         # v = argmin ||A v - f|| (min-norm), dz = argmin ||A' dz - v||
         # (so A A' dz = A v = f for compatible f); z += dz, x = A' z.
-        z = np.zeros((A.m,), np.float64)
-        x = np.zeros((A.n,), np.float64)
+        z = np.zeros((A.m,), hdtype)
+        x = np.zeros((A.n,), hdtype)
         if x0 is not None:
             # project the warm start through one z-estimate: z0 = argmin
             # ||A' z - x0|| maps x0's range(A') part, dropping null(A)
             res0 = inner(A.T, jnp.asarray(np.asarray(x0, wdtype)), 0.0,
                          **inner_kwargs)
-            z = np.asarray(res0.x, np.float64)
+            z = np.asarray(res0.x, hdtype)
             x = host_rmatvec(z)
         results, dx_norms, rnorms = [], [], []
         converged = stagnated = False
@@ -339,7 +357,7 @@ def lsqr_refined(
                           **inner_kwargs)
             res_z = inner(A.T, res_v.x, 0.0, **inner_kwargs)
             results.extend([res_v, res_z])
-            z = z + np.asarray(res_z.x, np.float64)
+            z = z + np.asarray(res_z.x, hdtype)
             x_new = host_rmatvec(z)
             ndx = float(np.linalg.norm(x_new - x))
             x = x_new
@@ -367,11 +385,11 @@ def lsqr_refined(
         )
 
     # --- outer iteration -------------------------------------------------
-    x = (np.zeros((A.n,), np.float64) if x0 is None
-         else np.asarray(x0, np.float64).copy())
+    x = (np.zeros((A.n,), hdtype) if x0 is None
+         else np.asarray(x0, hdtype).copy())
     # r starts at 0 (NOT b - A x): then cycle 1 has f = b - A x0,
     # g = damp^2 x0, i.e. exactly the core's warm-start right-hand side
-    r = np.zeros((A.m,), np.float64)
+    r = np.zeros((A.m,), hdtype)
     results, dx_norms, rnorms = [], [], []
     converged = stagnated = False
     prev_dx = np.inf

@@ -259,11 +259,11 @@ def test_batch_complex_matches_sequential(rng):
 
 
 def test_real_only_modules_raise_clear_errors(rng):
-    """The advanced modules (refinement, hybrid, LSRN, implicit diff) are
-    real-only; they must reject complex inputs with a pointer instead of
-    silently discarding imaginary parts."""
+    """The remaining real-only modules (hybrid, LSRN, implicit diff) must
+    reject complex inputs with a pointer instead of silently discarding
+    imaginary parts. (Refinement supports complex — tested below.)"""
     A, b, _ = _cproblem(rng, m=30, n=20)
-    for fn in (lt.lsqr_refined, lt.hybrid_lsqr, lt.lsrn, lt.lsqr_grad):
+    for fn in (lt.hybrid_lsqr, lt.lsrn, lt.lsqr_grad):
         with pytest.raises(TypeError, match="real-only"):
             fn(A, b)
 
@@ -306,3 +306,64 @@ def test_complex_sharded_2d_matches_unsharded(rng):
     np.testing.assert_allclose(
         np.asarray(res.x), np.asarray(ref.x), rtol=1e-7, atol=1e-9
     )
+
+
+# ---------------------------------------------------------------------------
+# mixed-precision refinement over C
+# ---------------------------------------------------------------------------
+
+def _ill_conditioned_complex(rng, m, n, cond):
+    U, _ = np.linalg.qr(rng.standard_normal((m, n))
+                        + 1j * rng.standard_normal((m, n)))
+    V, _ = np.linalg.qr(rng.standard_normal((n, n))
+                        + 1j * rng.standard_normal((n, n)))
+    sig = np.logspace(0, -np.log10(cond), n)
+    return (U * sig) @ V.conj().T
+
+
+def test_refine_complex_recovers_c128_solution(rng):
+    """Complex refinement: complex64 device solves + complex128 host
+    residuals converge to the c128 LS solution of the stored matrix
+    (the augmented system over C: r + A x = b, A^H r = damp^2 x)."""
+    m, n = 120, 60
+    A64 = _ill_conditioned_complex(rng, m, n, 1e2)
+    A32 = A64.astype(np.complex64)
+    b = rng.standard_normal(m) + 1j * rng.standard_normal(m)
+    xtrue = np.linalg.lstsq(A32.astype(np.complex128), b, rcond=None)[0]
+    res = lt.lsqr_refined(lt.as_operator(A32), b)
+    assert res.converged
+    assert res.x.dtype == np.complex128
+    rel = np.abs(res.x - xtrue).max() / np.abs(xtrue).max()
+    assert rel < 1e-12
+
+
+def test_refine_complex_preconditioned_high_cond(rng):
+    """cond 1e4: the auto-LSRN path (complex Gaussian sketch, conjugated
+    preconditioner mapping) must keep contracting where the plain scheme
+    stalls at eps_f32 * cond."""
+    m, n = 120, 60
+    A32 = _ill_conditioned_complex(rng, m, n, 1e4).astype(np.complex64)
+    b = rng.standard_normal(m) + 1j * rng.standard_normal(m)
+    xtrue = np.linalg.lstsq(A32.astype(np.complex128), b, rcond=None)[0]
+    res = lt.lsqr_refined(lt.as_operator(A32), b)
+    assert res.preconditioned
+    rel = np.abs(res.x - xtrue).max() / np.abs(xtrue).max()
+    assert rel < 1e-9
+
+
+def test_refine_complex_damped_and_min_norm(rng):
+    mu, nu = 40, 80
+    Au = (rng.standard_normal((mu, nu))
+          + 1j * rng.standard_normal((mu, nu))).astype(np.complex64)
+    bu = rng.standard_normal(mu) + 1j * rng.standard_normal(mu)
+    Ad = Au.astype(np.complex128)
+    # damped
+    resd = lt.lsqr_refined(lt.as_operator(Au), bu, 0.1)
+    xd = Ad.conj().T @ np.linalg.solve(
+        Ad @ Ad.conj().T + 0.01 * np.eye(mu), bu
+    )
+    np.testing.assert_allclose(resd.x, xd, atol=1e-12)
+    # undamped min-norm (CRAIG-mode x = A^H z branch keeps x in range(A^H))
+    resm = lt.lsqr_refined(lt.as_operator(Au), bu, 0.0)
+    xmn = np.linalg.pinv(Ad) @ bu
+    np.testing.assert_allclose(resm.x, xmn, atol=1e-12)
