@@ -130,7 +130,12 @@ def _time_chained(step, v0, iters):
 def bench_tpu_pair(iters=30):
     """The fused product-pair kernel (ops/pallas_spmv.dia_pair): the
     matvec+rmatvec pair per step computed in ONE pass over the stripes —
-    stripe HBM traffic is half of the separate-kernels path."""
+    stripe HBM traffic is half of the separate-kernels path.
+
+    The stripes are a jit ARGUMENT, never a closure constant: a closed-over
+    352MB array gets EMBEDDED in the remote-compile request and the relay
+    rejects it (HTTP 413 'length limit exceeded') or wedges buffering it —
+    the root cause behind most of the 2026-08-19 compile hangs."""
     import jax
     import jax.numpy as jnp
 
@@ -139,15 +144,18 @@ def bench_tpu_pair(iters=30):
     data = jax.random.normal(jax.random.PRNGKey(0), (NDIAG, M), jnp.float32)
 
     @jax.jit
-    def step(v):
+    def step(data, v):
         u, z = dia_pair(data, v, v, 1.0, 0.0, offsets=OFFSETS, m=M, n=M)
         return z * 1e-9
 
-    return _time_chained(step, jnp.ones((M,), jnp.float32), iters)
+    return _time_chained(lambda v: step(data, v),
+                         jnp.ones((M,), jnp.float32), iters)
 
 
 def bench_tpu_separate(iters=30):
-    """Separate Pallas matvec + rmatvec kernels (two stripe passes)."""
+    """Separate Pallas matvec + rmatvec kernels (two stripe passes).
+    The operator is a jit argument (pytree), not a closure constant —
+    see bench_tpu_pair."""
     import jax
     import jax.numpy as jnp
 
@@ -157,10 +165,11 @@ def bench_tpu_separate(iters=30):
     A = dia_operator_device(M, M, OFFSETS, data)
 
     @jax.jit
-    def step(x):
+    def step(A, x):
         return A.rmatvec(A.matvec(x)) * 1e-9
 
-    return _time_chained(step, jnp.ones((M,), jnp.float32), iters)
+    return _time_chained(lambda x: step(A, x),
+                         jnp.ones((M,), jnp.float32), iters)
 
 
 def bench_tpu_xla(iters=30, storage_dtype=None):

@@ -367,3 +367,20 @@ def test_refine_complex_damped_and_min_norm(rng):
     resm = lt.lsqr_refined(lt.as_operator(Au), bu, 0.0)
     xmn = np.linalg.pinv(Ad) @ bu
     np.testing.assert_allclose(resm.x, xmn, atol=1e-12)
+
+
+def test_ez_api_complex(rng):
+    """The EZ class (reference lsqr_solver_ez analogue) accepts a complex
+    COO triple directly."""
+    m, n, nnz = 40, 25, 200
+    r = rng.integers(0, m, nnz)
+    c = rng.integers(0, n, nnz)
+    v = rng.standard_normal(nnz) + 1j * rng.standard_normal(nnz)
+    b = rng.standard_normal(m) + 1j * rng.standard_normal(m)
+    solver = lt.LSQRSolver(m, n, v, r, c, atol=1e-12, btol=1e-12, itnlim=200)
+    res = solver.solve(b, damp=0.1)
+    dense = np.zeros((m, n), complex)
+    np.add.at(dense, (r, c), v)
+    xd = np.linalg.solve(dense.conj().T @ dense + 0.01 * np.eye(n),
+                         dense.conj().T @ b)
+    np.testing.assert_allclose(np.asarray(res.x), xd, atol=1e-9)
