@@ -41,6 +41,7 @@ __all__ = [
     "ELLOperator",
     "ell_operator",
     "hyb_operator",
+    "dia_pair_xla",
     "BlockELLOperator",
     "block_ell_operator",
 ]
@@ -617,6 +618,59 @@ def ell_operator(m, n, vals, rows, cols, *, dtype=None) -> ELLOperator:
         m=int(m),
         n=int(n),
     )
+
+
+def dia_pair_xla(data, y, win, c1, c2, *, offsets, m, n,
+                 block=_XLA_DIA_BLOCK):
+    """Blocked pure-XLA fused product pair (real dtypes):
+
+        u = DIA(data, offsets) @ (win * c1) - c2 * y
+        z = DIA(data, offsets)' @ u
+
+    computed block by block so each stripe block feeds BOTH the forward
+    FMA chain and the adjoint overlap-add while it is hot — the XLA
+    analogue of the Pallas ``dia_pair`` kernel (which needs the fragile
+    Mosaic compile path at large m). The adjoint is emitted as per-block
+    shifted partials accumulated with static-index adds (scatter-free,
+    like the Pallas kernel's overlap-add; reference op sequence
+    lsqr.f90:681-694). Returns (u (m,), z (n,))."""
+    ks = tuple(offsets) or (0,)
+    kmin, kmax = min(ks), max(ks)
+    lo = max(0, -kmin)
+    acc_dt = jnp.float32 if data.dtype == jnp.bfloat16 else data.dtype
+    nb = -(-m // block)
+    mp = nb * block
+    xv = win * c1
+    xp_len = lo + max(n, mp + max(0, kmax))
+    xp = jnp.zeros((xp_len,), xv.dtype).at[lo : lo + n].set(xv)
+    yp = jnp.zeros((mp,), y.dtype).at[:m].set(y)
+    dp = data
+    if mp != m:
+        dp = jnp.pad(data, ((0, 0), (0, mp - m)))
+    span = kmax - kmin
+    zp_len = lo + max(n, mp + max(0, kmax)) + span
+    zp = jnp.zeros((zp_len,), acc_dt)
+    u_blocks = []
+    for b in range(nb):
+        s = b * block
+        ub = (-c2) * jax.lax.slice(yp, (s,), (s + block,)).astype(acc_dt)
+        dslices = []
+        for j, k in enumerate(offsets):
+            dj = dp[j, s : s + block].astype(acc_dt)
+            dslices.append(dj)
+            ub = ub + dj * jax.lax.slice(
+                xp, (lo + k + s,), (lo + k + s + block,)
+            ).astype(acc_dt)
+        u_blocks.append(ub)
+        # adjoint partial of this block: z[i + k_j] += data[j, i] * u[i]
+        zb = jnp.zeros((block + span,), acc_dt)
+        for j, k in enumerate(offsets):
+            zb = zb.at[k - kmin : k - kmin + block].add(dslices[j] * ub)
+        s0 = s + kmin + lo  # >= 0: lo covers the most negative offset
+        zp = zp.at[s0 : s0 + block + span].add(zb)
+    u = jnp.concatenate(u_blocks)[:m]
+    z = jax.lax.slice(zp, (lo,), (lo + n,))
+    return u, z
 
 
 def hyb_operator(m, n, vals, rows, cols, *, width=None, dtype=None):

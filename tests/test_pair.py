@@ -317,3 +317,33 @@ def test_dia_pair_geometry_fuzz(rng):
         assert eu < 1e-5 and ez < 1e-5, (
             trial, m, n, offsets, eu, ez
         )
+
+
+def test_dia_pair_xla_matches_separate_products(rng):
+    """Blocked pure-XLA fused pair (structured.dia_pair_xla): one pass over
+    each stripe block feeds both the forward FMA chain and the scatter-free
+    adjoint overlap-add — the Mosaic-free analogue of dia_pair."""
+    import jax.numpy as jnp
+
+    from lsqr_tpu.ops.structured import dia_operator, dia_pair_xla
+
+    for (m, n, offs) in [
+        (3000, 3000, (-2, 0, 3)),
+        (2500, 3100, (-7, -1, 0, 2, 9)),
+        (3100, 2500, (-3, 0, 1)),
+        (2048, 2048, (0,)),
+    ]:
+        A = dia_operator(
+            m, n, offs,
+            rng.standard_normal((len(offs), m)).astype(np.float32),
+            use_pallas=False,
+        )
+        y = rng.standard_normal(m).astype(np.float32)
+        w = rng.standard_normal(n).astype(np.float32)
+        c1, c2 = np.float32(0.7), np.float32(1.3)
+        u_ref = np.asarray(A.matvec(jnp.asarray(w * c1))) - c2 * y
+        z_ref = np.asarray(A.rmatvec(jnp.asarray(u_ref)))
+        u, z = dia_pair_xla(A.data, jnp.asarray(y), jnp.asarray(w), c1, c2,
+                            offsets=offs, m=m, n=n, block=1000)
+        np.testing.assert_allclose(np.asarray(u), u_ref, rtol=2e-5, atol=2e-5)
+        np.testing.assert_allclose(np.asarray(z), z_ref, rtol=2e-4, atol=2e-4)
