@@ -149,7 +149,19 @@ class DIAOperator(LinearOperator):
         # bidiagonalization step; profitable wherever the product kernels
         # are (the adjoint reuses the forward stripes, so bf16 storage is
         # supported — compute stays f32)
-        return self._pallas_selected(max(self.m, self.n))
+        if self._pallas_selected(max(self.m, self.n)):
+            return True
+        # blocked XLA pair: wins over separate blocked products for large
+        # f32 (21.4 vs 18.5 Gnnz/s at m=8M, BENCHMARKS.md round 3) but
+        # LOSES for bf16 storage (28.5 vs 31.1 — the adjoint partials
+        # outweigh the already-halved stripe reads) and is skipped for f64
+        # (keep the exact two-product path)
+        if self.data.dtype != jnp.float32:
+            return False
+        return (
+            jax.default_backend() == "tpu"
+            and max(self.m, self.n) >= 2_000_000
+        )
 
     def fused_pair(self, *, y, win, c1, c2):
         """Both products of the bidiagonalization step in ONE stripe pass
@@ -166,12 +178,20 @@ class DIAOperator(LinearOperator):
             # with the XLA products instead.
             u = self.matvec(win * c1) - c2 * y
             return u, self.rmatvec(u)
-        from .pallas_spmv import dia_pair
+        if self._pallas_selected(max(self.m, self.n)):
+            from .pallas_spmv import dia_pair
 
-        interpret = jax.default_backend() != "tpu"
-        return dia_pair(
+            interpret = jax.default_backend() != "tpu"
+            return dia_pair(
+                self.data, y, win, c1, c2,
+                offsets=self.offsets, m=self.m, n=self.n, interpret=interpret,
+            )
+        # non-Pallas selection (use_pallas=False, or small/CPU): the blocked
+        # pure-XLA pair — one pass over each stripe block for both products
+        # (measured 21.4 vs 18.5 Gnnz/s separate at m=8M f32, BENCHMARKS.md)
+        return dia_pair_xla(
             self.data, y, win, c1, c2,
-            offsets=self.offsets, m=self.m, n=self.n, interpret=interpret,
+            offsets=self.offsets, m=self.m, n=self.n,
         )
 
     def matvec(self, x: jax.Array) -> jax.Array:
@@ -620,8 +640,13 @@ def ell_operator(m, n, vals, rows, cols, *, dtype=None) -> ELLOperator:
     )
 
 
+#: pair-path block (swept at m=8M f32: 512k 21.4 > 256k 21.2 > 1M 20.9
+#: Gnnz/s; larger blocks also compile faster — 38s vs 57s)
+_XLA_PAIR_BLOCK = 512 * 1024
+
+
 def dia_pair_xla(data, y, win, c1, c2, *, offsets, m, n,
-                 block=_XLA_DIA_BLOCK):
+                 block=_XLA_PAIR_BLOCK):
     """Blocked pure-XLA fused product pair (real dtypes):
 
         u = DIA(data, offsets) @ (win * c1) - c2 * y
