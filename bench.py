@@ -173,30 +173,43 @@ def bench_tpu_separate(iters=30):
 
 
 def bench_tpu_xla(iters=30, storage_dtype=None):
-    """Blocked-XLA DIA path (use_pallas=False): the reliable path that never
-    touches the (fragile) Mosaic compile helper — the fori-of-XLA program
-    compiles in ~10s. The blocked formulation is bandwidth-saturated
-    (BENCHMARKS.md round 3): 18.5 Gnnz/s f32 / 31 Gnnz/s bf16-stripes at the
-    degraded-relay ceiling. ``storage_dtype='bfloat16'`` halves stripe
-    traffic (f32 accumulation; matrix entries rounded to bf16)."""
+    """Blocked-XLA DIA path: the reliable path that never touches the
+    (fragile) Mosaic compile helper. f32 uses the blocked XLA PAIR (one
+    pass over each stripe block for both products — 21.4 Gnnz/s at the
+    degraded-relay ceiling, BENCHMARKS.md round 3); bf16 storage uses the
+    separate blocked products (measured better than the bf16 pair:
+    31.1 vs 28.5)."""
     import jax
     import jax.numpy as jnp
 
-    from lsqr_tpu.ops.structured import dia_operator_device
+    from lsqr_tpu.ops.structured import dia_operator_device, dia_pair_xla
 
     key = jax.random.PRNGKey(0)
 
-    @jax.jit
-    def run(key):
-        data = jax.random.normal(key, (NDIAG, M), jnp.float32)
-        A = dia_operator_device(M, M, OFFSETS, data, use_pallas=False,
-                                storage_dtype=storage_dtype)
+    if storage_dtype is None:
+        @jax.jit
+        def run(key):
+            data = jax.random.normal(key, (NDIAG, M), jnp.float32)
 
-        def body(i, x):
-            return A.rmatvec(A.matvec(x)) * 1e-9
+            def body(i, v):
+                u, z = dia_pair_xla(data, v, v, 1.0, 0.0,
+                                    offsets=OFFSETS, m=M, n=M)
+                return z * 1e-9
 
-        x = jax.lax.fori_loop(0, iters, body, jnp.ones((M,), jnp.float32))
-        return jnp.sum(x)
+            v = jax.lax.fori_loop(0, iters, body, jnp.ones((M,), jnp.float32))
+            return jnp.sum(v)
+    else:
+        @jax.jit
+        def run(key):
+            data = jax.random.normal(key, (NDIAG, M), jnp.float32)
+            A = dia_operator_device(M, M, OFFSETS, data, use_pallas=False,
+                                    storage_dtype=storage_dtype)
+
+            def body(i, x):
+                return A.rmatvec(A.matvec(x)) * 1e-9
+
+            x = jax.lax.fori_loop(0, iters, body, jnp.ones((M,), jnp.float32))
+            return jnp.sum(x)
 
     float(run(key))
     t0 = time.perf_counter()
