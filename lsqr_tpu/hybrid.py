@@ -72,8 +72,13 @@ class GKBasis(NamedTuple):
 def _gk_impl(A, b, *, k: int, reorth: bool, safe_norms: bool):
     n = A.local_n if hasattr(A, "local_n") else A.n
     dtype = b.dtype
-    zero = jnp.zeros((), dtype)
-    one = jnp.ones((), dtype)
+    # complex extension: the Lanczos vectors are complex, the bidiagonal
+    # coefficients alpha/beta are REAL (they are norms; rmatvec is the
+    # conjugate-transpose product — see solver._build), so the projected
+    # (k+1, k) problem and all of the GCV analysis stay real
+    rdtype = jnp.zeros((), dtype).real.dtype
+    zero = jnp.zeros((), rdtype)
+    one = jnp.ones((), rdtype)
     axis_m = getattr(A, "axis_name_m", None)
     axis_n = getattr(A, "axis_name_n", None)
 
@@ -92,8 +97,8 @@ def _gk_impl(A, b, *, k: int, reorth: bool, safe_norms: bool):
     v0 = jnp.where(alpha0 > zero, v0u / safe_a0, v0u)
 
     V = jnp.zeros((k, n), dtype).at[0].set(v0)
-    alphas = jnp.zeros((k,), dtype).at[0].set(alpha0)
-    betas = jnp.zeros((k + 1,), dtype).at[0].set(beta0)
+    alphas = jnp.zeros((k,), rdtype).at[0].set(alpha0)
+    betas = jnp.zeros((k + 1,), rdtype).at[0].set(beta0)
 
     def body(i, carry):
         u, v, V, alphas, betas = carry
@@ -108,8 +113,10 @@ def _gk_impl(A, b, *, k: int, reorth: bool, safe_norms: bool):
             # full one-sided reorthogonalization against the stored basis:
             # rows > i-1 are still zero so they contribute nothing. Two
             # GEMVs on the (k, n) buffer — MXU work, negligible next to
-            # the operator products for k << nnz/n.
-            coeff = V @ v_cand
+            # the operator products for k << nnz/n. The projection
+            # coefficients are <v_i, v_cand> = conj(V) @ v_cand (conj is
+            # the identity for real bases).
+            coeff = jnp.conj(V) @ v_cand
             if axis_n is not None:
                 coeff = jax.lax.psum(coeff, axis_n)
             v_cand = v_cand - V.T @ coeff
@@ -141,12 +148,7 @@ def golub_kahan(A, b, k: int, *, reorth: bool = True,
     """
     A = as_operator(A)
     b = jnp.asarray(b)
-    if jnp.issubdtype(b.dtype, jnp.complexfloating):
-        raise TypeError(
-            "golub_kahan/hybrid_lsqr are real-only; the complex-capable "
-            "surface is the core solver family (docs/api.md §Complex)"
-        )
-    if not jnp.issubdtype(b.dtype, jnp.floating):
+    if not jnp.issubdtype(b.dtype, jnp.inexact):  # ints -> default float
         from .config import default_dtype
 
         b = b.astype(default_dtype())

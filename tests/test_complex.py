@@ -259,11 +259,11 @@ def test_batch_complex_matches_sequential(rng):
 
 
 def test_real_only_modules_raise_clear_errors(rng):
-    """The remaining real-only modules (hybrid, LSRN, implicit diff) must
-    reject complex inputs with a pointer instead of silently discarding
-    imaginary parts. (Refinement supports complex — tested below.)"""
+    """The remaining real-only modules (LSRN, implicit diff) must reject
+    complex inputs with a pointer instead of silently discarding imaginary
+    parts. (Refinement and hybrid support complex — tested below.)"""
     A, b, _ = _cproblem(rng, m=30, n=20)
-    for fn in (lt.hybrid_lsqr, lt.lsrn, lt.lsqr_grad):
+    for fn in (lt.lsrn, lt.lsqr_grad):
         with pytest.raises(TypeError, match="real-only"):
             fn(A, b)
 
@@ -384,3 +384,48 @@ def test_ez_api_complex(rng):
     xd = np.linalg.solve(dense.conj().T @ dense + 0.01 * np.eye(n),
                          dense.conj().T @ b)
     np.testing.assert_allclose(np.asarray(res.x), xd, atol=1e-9)
+
+
+# ---------------------------------------------------------------------------
+# hybrid regularization over C
+# ---------------------------------------------------------------------------
+
+def test_golub_kahan_complex_factorization(rng):
+    """Complex Golub–Kahan: conj-orthonormal V, REAL bidiagonal B, and the
+    exact projected-norm identity ||A (y V) - b|| == ||B y - beta0 e1||
+    (the complex Krylov basis absorbs the phases, so the projected
+    Tikhonov problem — and all the GCV analysis — stays real)."""
+    from lsqr_tpu.hybrid import projected_tikhonov
+
+    m, n = 40, 20
+    A = rng.standard_normal((m, n)) + 1j * rng.standard_normal((m, n))
+    b = rng.standard_normal(m) + 1j * rng.standard_normal(m)
+    basis = lt.golub_kahan(A, b, n)
+    V = np.asarray(basis.V)
+    assert not np.iscomplexobj(np.asarray(basis.alpha))
+    np.testing.assert_allclose(V.conj() @ V.T, np.eye(n), atol=1e-12)
+    B = basis.bidiagonal()
+    beta0 = float(basis.beta[0])
+    y = rng.standard_normal(n) + 1j * rng.standard_normal(n)
+    e1 = np.zeros(n + 1)
+    e1[0] = beta0
+    np.testing.assert_allclose(
+        np.linalg.norm(A @ (y @ V) - b), np.linalg.norm(B @ y - e1),
+        rtol=1e-12,
+    )
+    # full-k projected Tikhonov == the global damped closed form
+    lam = 0.3
+    x = projected_tikhonov(B, beta0, lam) @ V
+    xd = np.linalg.solve(A.conj().T @ A + lam**2 * np.eye(n),
+                         A.conj().T @ b)
+    np.testing.assert_allclose(x, xd, atol=1e-12)
+
+
+def test_hybrid_lsqr_complex_runs_gcv(rng):
+    m, n = 60, 30
+    A = rng.standard_normal((m, n)) + 1j * rng.standard_normal((m, n))
+    b = rng.standard_normal(m) + 1j * rng.standard_normal(m)
+    res = lt.hybrid_lsqr(A, b, k=20)
+    assert np.iscomplexobj(np.asarray(res.x))
+    assert np.isfinite(np.asarray(res.x)).all()
+    assert 1 <= res.k <= 20
