@@ -68,6 +68,9 @@ def sketch_left(A: LinearOperator, s: int, *, seed: int = 0,
         G = jax.random.normal(key, (s, A.m), A.dtype)
         return G @ A.a
     G = jax.random.normal(key, (s, A.m), A.dtype)
+    if jnp.issubdtype(G.dtype, jnp.complexfloating):
+        # rmatvec is the ADJOINT product: row i of G A = conj(A^H conj(g_i))
+        return jnp.conj(_chunked_rows(A.rmatvec, jnp.conj(G), chunk))
     return _chunked_rows(A.rmatvec, G, chunk)
 
 
@@ -110,12 +113,6 @@ def lsrn_preconditioner(
     truncated (rank-deficient A) — default matches numpy.linalg.pinv's
     ``s * eps`` heuristic."""
     A = as_operator(A)
-    if jnp.issubdtype(jnp.dtype(getattr(A, "dtype", None) or jnp.float32),
-                      jnp.complexfloating):
-        raise TypeError(
-            "lsrn is real-only; the complex-capable surface is the core "
-            "solver family (docs/api.md §Complex)"
-        )
     if A.m < A.n:
         raise ValueError("lsrn_preconditioner expects m >= n; "
                          "use lsrn() which handles both orientations")
@@ -180,11 +177,6 @@ def lsrn(
     """
     A = as_operator(A)
     b = jnp.asarray(b)
-    if jnp.issubdtype(b.dtype, jnp.complexfloating):
-        raise TypeError(
-            "lsrn is real-only; the complex-capable surface is the core "
-            "solver family (docs/api.md §Complex)"
-        )
     if solver == "lsqr":
         from .solver import lsqr as _solve
     elif solver == "lsmr":
@@ -217,7 +209,8 @@ def lsrn(
     if rcond is None:
         rcond = max(S.shape) * np.finfo(S.dtype).eps
     r = int(np.sum(sig > rcond * sig[0]))
-    P = jnp.asarray(U[:, :r].T / sig[:r, None], A.dtype)   # (r, m)
+    # P = diag(1/sig) U^H — conj-transpose for complex (identity for real)
+    P = jnp.asarray(U[:, :r].conj().T / sig[:r, None], A.dtype)   # (r, m)
     B = ComposedOperator(outer=DenseOperator(P), inner=A)  # (r, n)
     res = _solve(B, P @ b, **opts)
     root = np.sqrt(r / s)

@@ -259,13 +259,13 @@ def test_batch_complex_matches_sequential(rng):
 
 
 def test_real_only_modules_raise_clear_errors(rng):
-    """The remaining real-only modules (LSRN, implicit diff) must reject
-    complex inputs with a pointer instead of silently discarding imaginary
-    parts. (Refinement and hybrid support complex — tested below.)"""
+    """lsqr_grad is the one remaining real-only entry point (complex
+    gradients are non-holomorphic; the IFT backward pass would need the
+    CR-calculus convention) — it must reject complex inputs with a pointer
+    instead of silently discarding imaginary parts."""
     A, b, _ = _cproblem(rng, m=30, n=20)
-    for fn in (lt.lsrn, lt.lsqr_grad):
-        with pytest.raises(TypeError, match="real-only"):
-            fn(A, b)
+    with pytest.raises(TypeError, match="real-only"):
+        lt.lsqr_grad(A, b)
 
 
 def test_checkpoint_resume_complex(rng, tmp_path):
@@ -429,3 +429,37 @@ def test_hybrid_lsqr_complex_runs_gcv(rng):
     assert np.iscomplexobj(np.asarray(res.x))
     assert np.isfinite(np.asarray(res.x)).all()
     assert 1 <= res.k <= 20
+
+
+# ---------------------------------------------------------------------------
+# LSRN randomized preconditioning over C
+# ---------------------------------------------------------------------------
+
+def test_lsrn_complex_conditioning_independent(rng):
+    """Complex LSRN: complex-Gaussian sketch (conj-corrected row builds),
+    conjugated preconditioner mappings — iteration count stays at the
+    cond(AN) <~ 3 level for a cond-1e6 complex matrix."""
+    m, n = 150, 60
+    A = _ill_conditioned_complex(rng, m, n, 1e6)
+    b = rng.standard_normal(m) + 1j * rng.standard_normal(m)
+    res = lt.lsrn(A, b, atol=1e-12, btol=1e-12)
+    xt = np.linalg.lstsq(A, b, rcond=None)[0]
+    rel = np.abs(np.asarray(res.x) - xt).max() / np.abs(xt).max()
+    assert rel < 1e-8
+    assert int(res.result.itn) < 60  # conditioning-independent
+
+
+def test_lsrn_complex_underdetermined_and_damped(rng):
+    mu, nu = 50, 120
+    Au = rng.standard_normal((mu, nu)) + 1j * rng.standard_normal((mu, nu))
+    bu = rng.standard_normal(mu) + 1j * rng.standard_normal(mu)
+    resu = lt.lsrn(Au, bu, atol=1e-12, btol=1e-12)
+    np.testing.assert_allclose(
+        np.asarray(resu.x), np.linalg.pinv(Au) @ bu, atol=1e-10
+    )
+    m, n = 80, 40
+    A = rng.standard_normal((m, n)) + 1j * rng.standard_normal((m, n))
+    b = rng.standard_normal(m) + 1j * rng.standard_normal(m)
+    resd = lt.lsrn(A, b, damp=0.1, atol=1e-12, btol=1e-12)
+    xd = np.linalg.solve(A.conj().T @ A + 0.01 * np.eye(n), A.conj().T @ b)
+    np.testing.assert_allclose(np.asarray(resd.x), xd, atol=1e-9)
