@@ -91,11 +91,14 @@ def reg_sweep(
         )
     damps = jnp.atleast_1d(jnp.asarray(damps))
     res = lsqr_multidamp(A, b, damps, options=options, **option_overrides)
-    damps = damps.astype(res.x.dtype)
+    # damps/norms stay REAL also for complex solutions
+    damps = damps.astype(jnp.zeros((), res.x.dtype).real.dtype)
     if exact_residual:
+        from .ops.blas import abs2
+
         resid = b[None, :] - jax.vmap(A.matvec)(res.x)
-        residual_norm = jnp.sqrt(jnp.sum(jnp.square(resid), axis=-1))
-        solution_norm = jnp.sqrt(jnp.sum(jnp.square(res.x), axis=-1))
+        residual_norm = jnp.sqrt(jnp.sum(abs2(resid), axis=-1))
+        solution_norm = jnp.sqrt(jnp.sum(abs2(res.x), axis=-1))
     else:
         # ||b - Ax||^2 = rnorm_aug^2 - damp^2 ||x||^2  (lsqr.f90:545-549)
         residual_norm = jnp.sqrt(

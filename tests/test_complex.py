@@ -463,3 +463,28 @@ def test_lsrn_complex_underdetermined_and_damped(rng):
     resd = lt.lsrn(A, b, damp=0.1, atol=1e-12, btol=1e-12)
     xd = np.linalg.solve(A.conj().T @ A + 0.01 * np.eye(n), A.conj().T @ b)
     np.testing.assert_allclose(np.asarray(resd.x), xd, atol=1e-9)
+
+
+def test_regpath_complex(rng):
+    """Regularization-path helpers over C: real residual/solution norms
+    (damps stay real; the exit-estimate identity and the exact-residual
+    recomputation both use |.|^2), Morozov and L-curve selection run."""
+    m, n = 60, 30
+    A = rng.standard_normal((m, n)) + 1j * rng.standard_normal((m, n))
+    xt = rng.standard_normal(n) + 1j * rng.standard_normal(n)
+    b = A @ xt + 0.01 * (rng.standard_normal(m)
+                         + 1j * rng.standard_normal(m))
+    for exact in (False, True):
+        path = lt.reg_sweep(A, b, num=8, exact_residual=exact)
+        assert not np.iscomplexobj(np.asarray(path.residual_norm))
+        assert not np.iscomplexobj(np.asarray(path.solution_norm))
+        for j in (0, 4, 7):
+            rn = np.linalg.norm(b - A @ np.asarray(path.x[j]))
+            np.testing.assert_allclose(
+                float(path.residual_norm[j]), rn, rtol=1e-8
+            )
+    d, xd, path = lt.discrepancy_damp(A, b, noise_norm=0.01 * np.sqrt(2 * m))
+    assert float(path.residual_norm[np.argmin(np.abs(
+        np.asarray(path.damps) - float(d)))]) <= 0.011 * np.sqrt(2 * m) * 1.5
+    lam, xl, curv = lt.lcurve_corner(path)
+    assert np.isfinite(float(lam))
