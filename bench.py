@@ -50,8 +50,11 @@ NNZ = NDIAG * M
 # completes in 5s or hangs >300s, alternating unpredictably), so the parent
 # makes several shorter attempts rather than one long one — a retry usually
 # lands in a working window.
-TPU_TOTAL_BUDGET_S = int(os.environ.get("LSQR_BENCH_TPU_BUDGET_S", "450"))
-TPU_ATTEMPT_BUDGET_S = int(os.environ.get("LSQR_BENCH_TPU_ATTEMPT_S", "170"))
+# Round 2's run was killed by the driver somewhere in the 400-460s range;
+# keep the WORST case (budget + attempt kill grace + inter-attempt sleeps +
+# startup) under ~6.5 minutes so the JSON line always prints first.
+TPU_TOTAL_BUDGET_S = int(os.environ.get("LSQR_BENCH_TPU_BUDGET_S", "330"))
+TPU_ATTEMPT_BUDGET_S = int(os.environ.get("LSQR_BENCH_TPU_ATTEMPT_S", "140"))
 TPU_MAX_ATTEMPTS = 3
 
 
