@@ -7,27 +7,44 @@ throughput numbers of its own, SURVEY.md §6).
 Prints ONE JSON line:
   {"metric": ..., "value": N, "unit": "Gnnz/s", "vs_baseline": N}
 
-Matrix: banded (11 diagonals), m = n = 8M => 88M nnz, f32, DIA storage on
-TPU (Pallas fused product-pair kernel / double-buffered streaming kernels)
-vs scipy CSR on the host CPU.
+Matrix: banded (11 diagonals), m = n = 2^23 = 8,388,608 => 92.3M nnz, f32.
+TPU paths measured (fastest first, each banked independently):
+  shared_pair  Pallas fused pair on SHARED stripes (one flat stripe array
+               serves forward+adjoint; measured 97.1 Gnnz/s round 4)
+  pair         Pallas fused pair on packed stripes (90.6 Gnnz/s round 4)
+  separate     Pallas matvec + rmatvec kernels (75.8 Gnnz/s round 4)
+  xla          blocked-XLA fused pair (the compile-helper-free fallback)
+  xla_bf16     blocked-XLA with bf16 stripe storage (informational)
+  solve        END-TO-END damped LSQR ms/iteration through the auto path
 
-Robustness (learned round 2, where the run was killed by the driver's
-timeout before the JSON line printed, BENCH_r02.json rc=124): the entire
-TPU section runs in a CHILD process with a hard wall-clock budget; the
-parent kills the child's process group on expiry and prints the JSON line
-from whatever stages completed. A wedged relay compile path or a degraded
-link can therefore cost at most TPU_BUDGET_S seconds, never the round's
-benchmark record.
+Size note (round 4): m = 8,388,608 (2^23, tile-aligned) replaces round 3's
+m = 8,000,000 — the RAGGED-tile Mosaic program at 8e6 is what wedges the
+relay's remote-compile helper (reproduced 2/2 at 8e6; 2^23 compiles in
+6.6 s and 2^22/2^21/2^18 all compile in <5 s). Aligned sizes also match
+how a user would shape a TPU problem.
+
+Robustness (round-3 lesson: BENCH_r03 recorded 0.0 for the flagship Pallas
+kernels after two attempts died compiling the ragged 8M program):
+- the TPU section runs in a CHILD process; the parent kills the child's
+  process group on budget expiry and prints the JSON from whatever stages
+  completed (round-2 lesson: the driver's own timeout must never eat the
+  JSON line);
+- the child emits '@begin {stage,m}' BEFORE each compile and '@stage ...'
+  after each measurement, so the parent knows exactly which (stage, size)
+  wedged and passes it to the next attempt as POISONED;
+- every Pallas stage walks DOWN a size ladder (2^23, 2^22, 2^21, 2^18),
+  skipping poisoned rungs — a wedged compile at one size costs one attempt,
+  not the stage; a number is banked at the largest size that compiles;
+- Pallas stages run BEFORE the informational XLA stages (round-3 verdict:
+  the fallback must never starve the flagship path of budget).
 
 Methodology notes (see BENCHMARKS.md):
 - data is generated ON DEVICE (host->device bulk transfer is slow through
   the axon relay);
-- timing chains K data-dependent product pairs inside one jit and fetches a
-  scalar (block_until_ready does not synchronize through the relay);
-- a degraded relay state (~70-90 GB/s elementwise vs ~380-400 healthy) hits
-  jit elementwise chains ~5x but the Pallas DIA streaming kernels only
-  ~10-15%, so a degraded reading mostly flags attribution; the health GB/s
-  is reported in the JSON either way.
+- block_until_ready does not synchronize through the relay — timings chain
+  K data-dependent steps and fetch a scalar;
+- Pallas stages time eager chained dispatches of ONE compiled step (async
+  dispatch pipelines them on-device); XLA stages chain inside a fori_loop.
 """
 
 from __future__ import annotations
@@ -39,32 +56,37 @@ import subprocess
 import sys
 import time
 
-M = 8_000_000
+M = 8_388_608  # 2^23: tile-aligned headline size (see size note above)
 NDIAG = 11
 OFFSETS = tuple(range(-(NDIAG // 2), NDIAG // 2 + 1))
 NNZ = NDIAG * M
 
-# Hard wall-clock budgets. The driver's own timeout killed round 2's run;
-# stay comfortably inside plausible driver limits. The relay wedges
-# INTERMITTENTLY (measured 2026-08-19: the identical first device op
-# completes in 5s or hangs >300s, alternating unpredictably), so the parent
-# makes several shorter attempts rather than one long one — a retry usually
-# lands in a working window.
-# Round 2's run was killed by the driver somewhere in the 400-460s range;
-# keep the WORST case (budget + attempt kill grace + inter-attempt sleeps +
-# startup) under ~6.5 minutes so the JSON line always prints first.
+# Pallas walk-down ladder: largest first; all rungs compile-verified round 4.
+SIZE_LADDER = (M, 4_194_304, 2_097_152, 262_144)
+
+# Hard wall-clock budgets (round-2 lesson: the driver killed a ~460s run;
+# keep worst case — budget + kill grace + sleeps + startup — under ~6 min).
 TPU_TOTAL_BUDGET_S = int(os.environ.get("LSQR_BENCH_TPU_BUDGET_S", "330"))
 TPU_ATTEMPT_BUDGET_S = int(os.environ.get("LSQR_BENCH_TPU_ATTEMPT_S", "140"))
 TPU_MAX_ATTEMPTS = 3
 
+PALLAS_STAGES = ("shared_pair", "pair", "separate")
+ALL_STAGES = ("health", "shared_pair", "pair", "solve", "separate",
+              "xla", "xla_bf16")
+
 
 # --------------------------------------------------------------------------
-# TPU child stages. Each prints one '@stage {json}' line as soon as it has a
-# number, so the parent keeps partial results even if a later stage wedges.
+# TPU child stages. '@begin' marks a compile about to start (the parent
+# treats begun-but-unfinished (stage, m) pairs as poisoned); '@stage' banks
+# a number as soon as it exists, so a later wedge never erases it.
 # --------------------------------------------------------------------------
 
 def _emit(stage, **kv):
     print("@stage " + json.dumps({"stage": stage, **kv}), flush=True)
+
+
+def _begin(stage, m):
+    print("@begin " + json.dumps({"stage": stage, "m": m}), flush=True)
 
 
 def relay_present(wait_s=45.0):
@@ -108,14 +130,9 @@ def relay_health(iters=10):
 
 
 def _time_chained(step, v0, iters):
-    """Time ``iters`` data-dependent calls of a jitted single step.
-
-    Measured 2026-08-19: wrapping Pallas kernels in a lax.fori_loop inflates
-    the remote (Mosaic) compile ~8x (66s vs 8s at m=262k) and at m >= 1M the
-    compile helper gets OOM-SIGKILLed — so the Pallas stages compile ONE
-    step and time eager chained dispatches instead (async dispatch pipelines
-    them on-device; the relay's per-dispatch cost makes this a slight
-    UNDERestimate of kernel throughput)."""
+    """Time ``iters`` data-dependent eager dispatches of a jitted step
+    (fori-of-pallas inflates the remote Mosaic compile; eager chaining
+    pipelines on-device and slightly UNDERestimates kernel throughput)."""
     import time as _t
 
     import jax.numpy as jnp
@@ -130,88 +147,111 @@ def _time_chained(step, v0, iters):
     return (_t.perf_counter() - t0) / iters
 
 
-def bench_tpu_pair(iters=30):
-    """The fused product-pair kernel (ops/pallas_spmv.dia_pair): the
-    matvec+rmatvec pair per step computed in ONE pass over the stripes —
-    stripe HBM traffic is half of the separate-kernels path.
+def _stripe_data(m, dtype=None):
+    import jax
+    import jax.numpy as jnp
 
-    The stripes are a jit ARGUMENT, never a closure constant: a closed-over
-    352MB array gets EMBEDDED in the remote-compile request and the relay
-    rejects it (HTTP 413 'length limit exceeded') or wedges buffering it —
-    the root cause behind most of the 2026-08-19 compile hangs."""
+    d = jax.random.normal(jax.random.PRNGKey(0), (NDIAG, m), jnp.float32)
+    return d if dtype is None else d.astype(dtype)
+
+
+def bench_pair(m, iters=30):
+    """Pallas fused product-pair kernel (ops/pallas_spmv.dia_pair): both
+    bidiagonalization products (lsqr.f90:681-694) in ONE pass over the
+    packed stripes. Stripes are a jit ARGUMENT, never a closure constant
+    (a closed-over 350MB array embeds in the remote-compile request:
+    HTTP 413 / wedge)."""
     import jax
     import jax.numpy as jnp
 
     from lsqr_tpu.ops.pallas_spmv import dia_pair
 
-    data = jax.random.normal(jax.random.PRNGKey(0), (NDIAG, M), jnp.float32)
+    offs = OFFSETS
+    data = _stripe_data(m)
 
     @jax.jit
     def step(data, v):
-        u, z = dia_pair(data, v, v, 1.0, 0.0, offsets=OFFSETS, m=M, n=M)
+        u, z = dia_pair(data, v, v, 1.0, 0.0, offsets=offs, m=m, n=m)
         return z * 1e-9
 
     return _time_chained(lambda v: step(data, v),
-                         jnp.ones((M,), jnp.float32), iters)
+                         jnp.ones((m,), jnp.float32), iters)
 
 
-def bench_tpu_separate(iters=30):
-    """Separate Pallas matvec + rmatvec kernels (two stripe passes).
-    The operator is a jit argument (pytree), not a closure constant —
-    see bench_tpu_pair."""
+def bench_shared_pair(m, iters=30):
+    """Pallas fused pair on the SHARED-stripe layout (DIASharedOperator):
+    one flat padded stripe array serves forward AND adjoint — half the
+    operator HBM of the packed layout and the best measured throughput
+    (97.1 vs 90.6 Gnnz/s packed, round 4)."""
+    import jax
+    import jax.numpy as jnp
+
+    from lsqr_tpu.ops.structured import dia_shared_operator
+
+    A = dia_shared_operator(m, m, OFFSETS, _stripe_data(m))
+    y0 = jnp.zeros((m,), jnp.float32)
+
+    @jax.jit
+    def step(A, y0, v):
+        u, z = A.fused_pair(y=y0, win=v, c1=1.0, c2=0.0)
+        return z * 1e-9
+
+    return _time_chained(lambda v: step(A, y0, v),
+                         jnp.ones((m,), jnp.float32), iters)
+
+
+def bench_separate(m, iters=30):
+    """Separate Pallas matvec + rmatvec kernels (two stripe passes)."""
     import jax
     import jax.numpy as jnp
 
     from lsqr_tpu.ops.structured import dia_operator_device
 
-    data = jax.random.normal(jax.random.PRNGKey(0), (NDIAG, M), jnp.float32)
-    A = dia_operator_device(M, M, OFFSETS, data)
+    A = dia_operator_device(m, m, OFFSETS, _stripe_data(m))
 
     @jax.jit
     def step(A, x):
         return A.rmatvec(A.matvec(x)) * 1e-9
 
     return _time_chained(lambda x: step(A, x),
-                         jnp.ones((M,), jnp.float32), iters)
+                         jnp.ones((m,), jnp.float32), iters)
 
 
-def bench_tpu_xla(iters=30, storage_dtype=None):
-    """Blocked-XLA DIA path: the reliable path that never touches the
-    (fragile) Mosaic compile helper. f32 uses the blocked XLA PAIR (one
-    pass over each stripe block for both products — 21.4 Gnnz/s at the
-    degraded-relay ceiling, BENCHMARKS.md round 3); bf16 storage uses the
-    separate blocked products (measured better than the bf16 pair:
-    31.1 vs 28.5)."""
+def bench_xla(m, iters=30, storage_dtype=None):
+    """Blocked-XLA DIA path: never touches the Mosaic compile helper.
+    f32 uses the blocked XLA PAIR; bf16 storage uses the separate blocked
+    products (measured better than the bf16 pair — BENCHMARKS.md r3)."""
     import jax
     import jax.numpy as jnp
 
     from lsqr_tpu.ops.structured import dia_operator_device, dia_pair_xla
 
     key = jax.random.PRNGKey(0)
+    offs = OFFSETS
 
     if storage_dtype is None:
         @jax.jit
         def run(key):
-            data = jax.random.normal(key, (NDIAG, M), jnp.float32)
+            data = jax.random.normal(key, (NDIAG, m), jnp.float32)
 
             def body(i, v):
                 u, z = dia_pair_xla(data, v, v, 1.0, 0.0,
-                                    offsets=OFFSETS, m=M, n=M)
+                                    offsets=offs, m=m, n=m)
                 return z * 1e-9
 
-            v = jax.lax.fori_loop(0, iters, body, jnp.ones((M,), jnp.float32))
+            v = jax.lax.fori_loop(0, iters, body, jnp.ones((m,), jnp.float32))
             return jnp.sum(v)
     else:
         @jax.jit
         def run(key):
-            data = jax.random.normal(key, (NDIAG, M), jnp.float32)
-            A = dia_operator_device(M, M, OFFSETS, data, use_pallas=False,
+            data = jax.random.normal(key, (NDIAG, m), jnp.float32)
+            A = dia_operator_device(m, m, offs, data, use_pallas=False,
                                     storage_dtype=storage_dtype)
 
             def body(i, x):
                 return A.rmatvec(A.matvec(x)) * 1e-9
 
-            x = jax.lax.fori_loop(0, iters, body, jnp.ones((M,), jnp.float32))
+            x = jax.lax.fori_loop(0, iters, body, jnp.ones((m,), jnp.float32))
             return jnp.sum(x)
 
     float(run(key))
@@ -220,48 +260,112 @@ def bench_tpu_xla(iters=30, storage_dtype=None):
     return (time.perf_counter() - t0) / iters
 
 
-def child_main(done):
-    """Runs on the TPU; parent enforces the wall-clock budget. ``done`` is
-    the set of stage names already measured by a previous attempt."""
+def bench_solve(m, variant, itn=64):
+    """End-to-end damped LSQR solve, ms/iteration, through the real user
+    path (lsqr() on a DIA operator) — catches solver-loop regressions the
+    kernel-pair stages cannot see. variant 'pallas' is the auto TPU route
+    (Pallas pair, while-loop); 'xla' forces the compile-helper-free path."""
+    import jax.numpy as jnp
+
+    import lsqr_tpu as lt
+    from lsqr_tpu.ops.structured import dia_operator_device
+
+    use_pallas = None if variant == "pallas" else False
+    A = dia_operator_device(m, m, OFFSETS, _stripe_data(m),
+                            use_pallas=use_pallas)
+    b = jnp.ones((m,), jnp.float32)
+    kw = dict(itnlim=itn, atol=0.0, btol=0.0, conlim=0.0)
+    res = lt.lsqr(A, b, 0.01, **kw)  # compile + warm
+    float(jnp.sum(res.x))
+    t0 = time.perf_counter()
+    res = lt.lsqr(A, b, 0.01, **kw)
+    float(jnp.sum(res.x))
+    return (time.perf_counter() - t0) / int(res.itn)
+
+
+def child_main(poisoned):
+    """Runs on the TPU; parent enforces the wall-clock budget. ``poisoned``
+    is the set of "stage@m" strings a previous attempt began but never
+    finished (wedged compiles) — plus "stage@done" once a stage is banked."""
     if not relay_present(wait_s=30.0):
         _emit("error", error="axon tunnel absent (no listener on 8082+)")
         return 0
-    if "health" not in done:
+
+    def skip(stage, m="done"):
+        return f"{stage}@{m}" in poisoned
+
+    if not skip("health"):
         try:
+            _begin("health", 0)
             gbs = relay_health()
             _emit("health", gbs=round(gbs))
         except Exception as e:
             _emit("error", error=f"health: {type(e).__name__}: {e}"[:200])
             return 0
-    # XLA fallback first: it avoids the (fragile) Mosaic remote-compile
-    # helper entirely, so SOME real kernel number is banked before the
-    # Pallas stages risk a wedge.
-    if "xla" not in done:
+
+    pallas_fns = {"shared_pair": bench_shared_pair, "pair": bench_pair,
+                  "separate": bench_separate}
+    for stage in ("shared_pair", "pair"):
+        if skip(stage):
+            continue
+        for m in SIZE_LADDER:
+            if skip(stage, m):
+                continue
+            try:
+                _begin(stage, m)
+                dt = pallas_fns[stage](m)
+                _emit(stage, gnnz=round(2 * NDIAG * m / dt / 1e9, 2), m=m)
+            except Exception as e:
+                _emit("error", error=f"{stage}@{m}: {type(e).__name__}: {e}"[:200])
+                continue
+            break
+
+    # End-to-end solve: auto (Pallas while-loop) first, XLA fallback.
+    if not skip("solve"):
+        for variant in ("pallas", "xla"):
+            if skip("solve", variant):
+                continue
+            try:
+                _begin("solve", variant)
+                dt = bench_solve(M, variant)
+                # m echoes the @begin key (the variant) so the parent's
+                # begun-marker bookkeeping clears on success
+                _emit("solve", ms_iter=round(dt * 1e3, 2), path=variant,
+                      m=variant)
+            except Exception as e:
+                _emit("error", error=f"solve@{variant}: {type(e).__name__}: {e}"[:200])
+                continue
+            break
+
+    if not skip("separate"):
+        for m in SIZE_LADDER:
+            if skip("separate", m):
+                continue
+            try:
+                _begin("separate", m)
+                dt = bench_separate(m)
+                _emit("separate", gnnz=round(2 * NDIAG * m / dt / 1e9, 2), m=m)
+            except Exception as e:
+                _emit("error", error=f"separate@{m}: {type(e).__name__}: {e}"[:200])
+                continue
+            break
+
+    # XLA stages: reliable, informational; run LAST so they can never
+    # starve the flagship Pallas stages (round-3 verdict item 1).
+    if not skip("xla"):
         try:
-            dt = bench_tpu_xla()
-            _emit("xla", gnnz=round(2 * NNZ / dt / 1e9, 2))
+            _begin("xla", M)
+            dt = bench_xla(M)
+            _emit("xla", gnnz=round(2 * NNZ / dt / 1e9, 2), m=M)
         except Exception as e:
             _emit("error", error=f"xla: {type(e).__name__}: {e}"[:200])
-    if "xla_bf16" not in done:
-        # informational (bf16 matrix storage is a different precision mode,
-        # so it does NOT feed the f32 headline value)
+    if not skip("xla_bf16"):
         try:
-            dt = bench_tpu_xla(storage_dtype="bfloat16")
-            _emit("xla_bf16", gnnz=round(2 * NNZ / dt / 1e9, 2))
+            _begin("xla_bf16", M)
+            dt = bench_xla(M, storage_dtype="bfloat16")
+            _emit("xla_bf16", gnnz=round(2 * NNZ / dt / 1e9, 2), m=M)
         except Exception as e:
             _emit("error", error=f"xla_bf16: {type(e).__name__}: {e}"[:200])
-    if "pair" not in done:
-        try:
-            dt = bench_tpu_pair()
-            _emit("pair", gnnz=round(2 * NNZ / dt / 1e9, 2))
-        except Exception as e:
-            _emit("error", error=f"pair: {type(e).__name__}: {e}"[:200])
-    if "separate" not in done:
-        try:
-            dt = bench_tpu_separate()
-            _emit("separate", gnnz=round(2 * NNZ / dt / 1e9, 2))
-        except Exception as e:
-            _emit("error", error=f"separate: {type(e).__name__}: {e}"[:200])
     return 0
 
 
@@ -290,18 +394,21 @@ def bench_cpu_serial(iters=4):
     return 2 * nnz / dt_pair / 1e9
 
 
-def _ingest(out, stages, errors):
+def _ingest(out, stages, errors, begun):
     for line in out.decode(errors="replace").splitlines():
-        if not line.startswith("@stage "):
-            continue
-        rec = json.loads(line[len("@stage "):])
-        if rec["stage"] == "error":
-            errors.append(rec["error"])
-        else:
-            stages[rec["stage"]] = rec
+        if line.startswith("@begin "):
+            rec = json.loads(line[len("@begin "):])
+            begun.add(f"{rec['stage']}@{rec['m']}")
+        elif line.startswith("@stage "):
+            rec = json.loads(line[len("@stage "):])
+            if rec["stage"] == "error":
+                errors.append(rec["error"])
+            else:
+                stages[rec["stage"]] = rec
+                begun.discard(f"{rec['stage']}@{rec.get('m', 0)}")
 
 
-def _run_attempt(done, budget_s, stages, errors):
+def _run_attempt(poisoned, budget_s, stages, errors):
     env = dict(os.environ)
     orig = env.pop("_LSQR_BENCH_ORIG_PLATFORMS", "")
     env.pop("_LSQR_BENCH_REEXEC", None)
@@ -315,17 +422,19 @@ def _run_attempt(done, budget_s, stages, errors):
     else:
         env.pop("PALLAS_AXON_POOL_IPS", None)
     child = subprocess.Popen(
-        [sys.executable, os.path.abspath(__file__), "--tpu-child"] + sorted(done),
+        [sys.executable, os.path.abspath(__file__), "--tpu-child"]
+        + sorted(poisoned),
         stdout=subprocess.PIPE,
         stderr=subprocess.DEVNULL,
         start_new_session=True,  # killable as a group even mid-compile
         cwd=os.path.dirname(os.path.abspath(__file__)),
         env=env,
     )
+    begun = set()
     try:
         out, _ = child.communicate(timeout=budget_s)
-        _ingest(out, stages, errors)
-        return True
+        _ingest(out, stages, errors, begun)
+        return True, begun
     except subprocess.TimeoutExpired:
         # TERM first (lets the relay session close cleanly), then KILL.
         for sig, grace in ((signal.SIGTERM, 5), (signal.SIGKILL, 5)):
@@ -338,9 +447,9 @@ def _run_attempt(done, budget_s, stages, errors):
                 break
             except subprocess.TimeoutExpired:
                 out = b""
-        _ingest(out, stages, errors)
+        _ingest(out, stages, errors, begun)
         errors.append(f"attempt exceeded {budget_s}s (killed)")
-        return False
+        return False, begun
 
 
 def parent_main():
@@ -364,12 +473,13 @@ def parent_main():
 
     stages = {}
     errors = []
+    poisoned = set()
     deadline = time.monotonic() + TPU_TOTAL_BUDGET_S
     cpu_done = False
     gnnz_cpu = 0.0
     for attempt in range(TPU_MAX_ATTEMPTS):
-        done = set(stages)
-        if {"health", "xla", "xla_bf16", "pair", "separate"} <= done:
+        done = {f"{s}@done" for s in stages}
+        if len(stages) >= len(ALL_STAGES):
             break
         budget = min(TPU_ATTEMPT_BUDGET_S, deadline - time.monotonic())
         if budget < 30:
@@ -380,8 +490,8 @@ def parent_main():
         result = {}
         th = threading.Thread(
             target=lambda: result.update(
-                ok=_run_attempt(done, budget, stages, errors)
-            )
+                zip(("ok", "begun"),
+                    _run_attempt(poisoned | done, budget, stages, errors)))
         )
         th.start()
         if not cpu_done:
@@ -389,9 +499,10 @@ def parent_main():
             gnnz_cpu = bench_cpu_serial()
             cpu_done = True
         th.join()
+        poisoned |= result.get("begun", set())  # wedged (stage, m) rungs
         print(
-            f"attempt {attempt + 1}: stages={sorted(set(stages) - done)} "
-            f"({time.monotonic() - t0:.0f}s)",
+            f"attempt {attempt + 1}: banked={sorted(stages)} "
+            f"poisoned={sorted(poisoned)} ({time.monotonic() - t0:.0f}s)",
             file=sys.stderr,
             flush=True,
         )
@@ -400,23 +511,44 @@ def parent_main():
     if not cpu_done:
         gnnz_cpu = bench_cpu_serial()
 
-    gnnz_pair = stages.get("pair", {}).get("gnnz", 0.0)
-    gnnz_sep = stages.get("separate", {}).get("gnnz", 0.0)
-    gnnz_xla = stages.get("xla", {}).get("gnnz", 0.0)
-    gnnz_xla_bf16 = stages.get("xla_bf16", {}).get("gnnz", 0.0)
-    gnnz_tpu = max(gnnz_pair, gnnz_sep, gnnz_xla)
+    def g(stage, field="gnnz"):
+        return stages.get(stage, {}).get(field, 0.0)
+
+    def at_full(stage):
+        return stages.get(stage, {}).get("m", 0) == M
+
+    # Headline: best FULL-SIZE pair-class number (any path). If nothing ran
+    # at full size, fall back to the largest-size Pallas number and name
+    # the metric for the size actually measured (never report a small-m
+    # reading under the 92M-nnz label).
+    full = [g(s) for s in ("shared_pair", "pair", "separate", "xla")
+            if at_full(s)]
+    if full:
+        gnnz_tpu, m_head = max(full), M
+    else:
+        cands = [(g(s), stages.get(s, {}).get("m", 0))
+                 for s in ("shared_pair", "pair", "separate", "xla")
+                 if s in stages]
+        gnnz_tpu, m_head = max(cands) if cands else (0.0, M)
+    metric = f"spmv_pair_throughput_banded_{NDIAG * m_head // 10**6}Mnnz_f32"
     record = {
-        "metric": "spmv_pair_throughput_banded_88Mnnz_f32",
+        "metric": metric,
         "value": round(gnnz_tpu, 2),
         "unit": "Gnnz/s",
-        "vs_baseline": round(gnnz_tpu / gnnz_cpu, 2),
+        "vs_baseline": round(gnnz_tpu / gnnz_cpu, 2) if gnnz_cpu else 0.0,
         "relay_health_gbs": stages.get("health", {}).get("gbs", 0),
-        "separate_kernels_gnnz": gnnz_sep,
-        "pair_kernel_gnnz": gnnz_pair,
-        "xla_fallback_gnnz": gnnz_xla,
-        "xla_bf16_storage_gnnz": gnnz_xla_bf16,
+        "shared_pair_gnnz": g("shared_pair"),
+        "pair_kernel_gnnz": g("pair"),
+        "separate_kernels_gnnz": g("separate"),
+        "xla_fallback_gnnz": g("xla"),
+        "xla_bf16_storage_gnnz": g("xla_bf16"),
+        "solve_ms_iter": g("solve", "ms_iter"),
+        "solve_path": stages.get("solve", {}).get("path", ""),
         "cpu_baseline_gnnz": round(gnnz_cpu, 2),
     }
+    for s in PALLAS_STAGES:  # record walk-down sizes when not at full m
+        if s in stages and not at_full(s):
+            record[f"{s}_m"] = stages[s]["m"]
     if errors:
         record["error"] = "; ".join(errors)[:300]
     print(json.dumps(record))

@@ -37,10 +37,30 @@ import jax.numpy as jnp
 
 __all__ = [
     "LSQROptions",
+    "bounded_loop_workaround",
     "default_dtype",
     "enable_x64",
     "eps_for",
 ]
+
+
+def bounded_loop_workaround() -> bool:
+    """Whether Pallas operators should steer solvers to the bounded
+    (host-stepped masked fori-segment) loop form instead of the plain
+    ``lax.while_loop``.
+
+    Rounds 1-3 of the relayed TPU backend HUNG compiling Pallas kernels
+    inside ``lax.while_loop`` (BENCHMARKS.md findings log), so Pallas
+    operators advertised ``prefers_bounded_loop`` unconditionally. The hang
+    is fixed as of 2026-08-19 (re-probed every round by bench.py's solve
+    stage), and the while form measures faster (2.22 vs 2.49 ms/iter at
+    m=2^23) while restoring true early exit on convergence — so the
+    workaround is now OPT-IN: set ``LSQR_TPU_BOUNDED_LOOP=1`` if a backend
+    regresses. Explicit ``loop='bounded'`` always works regardless.
+    """
+    import os
+
+    return os.environ.get("LSQR_TPU_BOUNDED_LOOP", "0") == "1"
 
 
 def enable_x64(enable: bool = True) -> None:

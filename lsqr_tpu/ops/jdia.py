@@ -229,7 +229,9 @@ class JDIAOperator(LinearOperator):
 
     @property
     def prefers_bounded_loop(self) -> bool:
-        return self._pallas_selected()
+        from ..config import bounded_loop_workaround
+
+        return bounded_loop_workaround() and self._pallas_selected()
 
     def _xpad(self, x, p_lo, win, m_out):
         m_pad = -(-m_out // self.tm) * self.tm

@@ -230,9 +230,9 @@ def _cached_call(ks, tks, m, n, nd, K, tm, interpret):
                 pl.BlockSpec((nd, tm), index_tdata, memory_space=pltpu.VMEM),
                 pl.BlockSpec((NSTATE, 128), lambda k, p, t: (0, 0),
                              memory_space=pltpu.VMEM),
-                pl.BlockSpec(memory_space=pltpu.ANY),
-                pl.BlockSpec(memory_space=pltpu.ANY),
-                pl.BlockSpec(memory_space=pltpu.ANY),
+                pl.BlockSpec(memory_space=pl.ANY),
+                pl.BlockSpec(memory_space=pl.ANY),
+                pl.BlockSpec(memory_space=pl.ANY),
             ],
             out_specs=(
                 pl.BlockSpec((ulen,), whole, memory_space=pltpu.VMEM),

@@ -488,7 +488,7 @@ def dia_matvec(data, x, *, offsets, m, n, interpret=False, tm=None):
         grid=(nt,),
         in_specs=[
             pl.BlockSpec((len(ks), tm), lambda t: (0, t), memory_space=pltpu.VMEM),
-            pl.BlockSpec(memory_space=pltpu.ANY),  # x stays in HBM, DMA'd per tile
+            pl.BlockSpec(memory_space=pl.ANY),  # x stays in HBM, DMA'd per tile
         ],
         out_specs=pl.BlockSpec((tm,), lambda t: (t,), memory_space=pltpu.VMEM),
         out_shape=jax.ShapeDtypeStruct((m,), out_dtype),
@@ -612,7 +612,7 @@ def dia_fused_halfstep(data, y, win_vec, c1, c2, *, offsets, m, n, interpret=Fal
             pl.BlockSpec((len(ks), tm), lambda t: (0, t), memory_space=pltpu.VMEM),
             pl.BlockSpec((tm + 1024,), lambda t: (t,), memory_space=pltpu.VMEM),
             pl.BlockSpec((8, 128), lambda t: (0, 0), memory_space=pltpu.VMEM),
-            pl.BlockSpec(memory_space=pltpu.ANY),
+            pl.BlockSpec(memory_space=pl.ANY),
         ],
         out_specs=pl.BlockSpec((tm + 1024,), lambda t: (t,), memory_space=pltpu.VMEM),
         out_shape=jax.ShapeDtypeStruct((nt * (tm + 1024),), data.dtype),
@@ -710,7 +710,7 @@ def dia_matvec_axpy(data, y, win_vec, c1, c2, *, offsets, m, n, interpret=False,
             pl.BlockSpec((len(ks), tm), lambda t: (0, t), memory_space=pltpu.VMEM),
             pl.BlockSpec((tm,), lambda t: (t,), memory_space=pltpu.VMEM),
             pl.BlockSpec((8, 128), lambda t: (0, 0), memory_space=pltpu.VMEM),
-            pl.BlockSpec(memory_space=pltpu.ANY),
+            pl.BlockSpec(memory_space=pl.ANY),
         ],
         out_specs=pl.BlockSpec((tm,), lambda t: (t,), memory_space=pltpu.VMEM),
         out_shape=jax.ShapeDtypeStruct((m,), data.dtype),

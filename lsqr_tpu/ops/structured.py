@@ -102,9 +102,14 @@ class DIAOperator(LinearOperator):
 
     @property
     def prefers_bounded_loop(self) -> bool:
-        # pallas products compose badly with lax.while_loop on some relayed
-        # backends; ask the solver for the static-trip-count loop form
-        return self._pallas_selected(max(self.m, self.n))
+        # pallas products hung lax.while_loop compiles on the rounds-1-3
+        # backend; the workaround is env-gated now that the backend is fixed
+        # (config.bounded_loop_workaround)
+        from ..config import bounded_loop_workaround
+
+        return bounded_loop_workaround() and self._pallas_selected(
+            max(self.m, self.n)
+        )
 
     @property
     def prefers_fused(self) -> bool:
@@ -440,7 +445,11 @@ class DIASharedOperator(LinearOperator):
 
     @property
     def prefers_bounded_loop(self) -> bool:
-        return self._pallas_selected(max(self.m, self.n))
+        from ..config import bounded_loop_workaround
+
+        return bounded_loop_workaround() and self._pallas_selected(
+            max(self.m, self.n)
+        )
 
     @property
     def prefers_fused(self) -> bool:
@@ -828,7 +837,9 @@ class BlockELLOperator(LinearOperator):
 
     @property
     def prefers_bounded_loop(self) -> bool:
-        return self._pallas_selected()
+        from ..config import bounded_loop_workaround
+
+        return bounded_loop_workaround() and self._pallas_selected()
 
     def matvec(self, x: jax.Array) -> jax.Array:
         xp = _pad_to(x, self.tblocks.shape[0] * self.bw)

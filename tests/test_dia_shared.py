@@ -120,7 +120,15 @@ def test_shared_fused_halfstep_path(rng):
     data = rng.standard_normal((5, m)).astype(np.float32)
     data[2] += 5.0
     As = dia_shared_operator(m, n, ks, data, use_pallas=True)
-    assert As.prefers_fused and As.prefers_bounded_loop
+    assert As.prefers_fused
+    # the bounded-loop workaround is env-gated now that the backend's
+    # pallas-in-while_loop hang is fixed (config.bounded_loop_workaround)
+    import os
+    from unittest import mock
+
+    assert not As.prefers_bounded_loop
+    with mock.patch.dict(os.environ, {"LSQR_TPU_BOUNDED_LOOP": "1"}):
+        assert As.prefers_bounded_loop
     Ap = dia_operator(m, n, ks, data, use_pallas=False)
     b = jnp.asarray(rng.standard_normal(m).astype(np.float32))
     rs = lt.lsqr(As, b, 0.05, itnlim=25, atol=0.0, btol=0.0, conlim=0.0)
