@@ -340,7 +340,15 @@ def _build(
 
         trace = c.trace
         if record_trace:
-            x0_val = x[0] if axis_n is None else jax.lax.all_gather(x, axis_n)[0, 0]
+            # scalar psum from the owning shard, not a full all_gather
+            # (see solver.py's trace block)
+            if axis_n is None:
+                x0_val = x[0]
+            else:
+                own = jax.lax.axis_index(axis_n) == 0
+                x0_val = jax.lax.psum(
+                    jnp.where(own, x[0], jnp.zeros_like(x[0])), axis_n
+                )
             if is_complex:
                 x0_val = jnp.real(x0_val)
             row = jnp.stack(

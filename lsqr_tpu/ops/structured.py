@@ -730,6 +730,14 @@ def hyb_operator(m, n, vals, rows, cols, *, width=None, dtype=None):
     vals = np.asarray(vals, dtype=dtype if dtype else None)
     rows = np.asarray(rows)
     cols = np.asarray(cols)
+    if np.iscomplexobj(vals):
+        # the ELL part's native packing is real-only (silently casting
+        # would drop imaginary parts — ADVICE.md round 3); complex general
+        # sparsity takes the conj-correct COO path, as auto_operator does
+        raise ValueError(
+            "hyb_operator is real-only; complex matrices use the COO path "
+            "(coo_operator / auto_operator)"
+        )
     if vals.size == 0:
         return coo_operator(m, n, vals, rows, cols, dtype=dtype)
 
@@ -743,9 +751,12 @@ def hyb_operator(m, n, vals, rows, cols, *, width=None, dtype=None):
         SPILL_COST = 8  # scatter-entry cost multiple vs streamed (measured ~10x)
         wmax = int(counts.max())
         best_w, best_cost = wmax, m * wmax
-        # spilled(w) = sum(max(counts - w, 0)) — evaluate on the distinct
-        # row lengths only
-        for w in np.unique(counts[counts > 0]):
+        # cost(w) = m*w + S*spilled(w) is convex piecewise-linear with
+        # breakpoints at the distinct row lengths; the integer minimum is
+        # at a breakpoint OR at the w=1 boundary (one dense row in an
+        # otherwise sparse matrix must pick w=1, not w=max row length —
+        # ADVICE.md round 3), so include 1 in the candidate set
+        for w in np.union1d([1], np.unique(counts[counts > 0])):
             w = int(w)
             spilled = int(np.maximum(counts - w, 0).sum())
             cost = m * w + SPILL_COST * spilled

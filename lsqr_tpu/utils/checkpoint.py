@@ -88,11 +88,15 @@ def load_state(path: str, dtype=None, carry_cls=_Carry):
         # vector fields) is complex — cast each saved field to its own
         # counterpart of the requested dtype (see solver._build)
         rdt = jnp.zeros((), cdt).real.dtype
+        # complex vector fields cast to the COMPLEX counterpart of the
+        # requested precision — a real `dtype` request must not silently
+        # drop imaginary parts of a complex checkpoint (ADVICE.md round 3)
+        ccdt = jnp.result_type(cdt, jnp.complex64)
     for f in carry_cls._fields:
         arr = jnp.asarray(data[f])
         if dtype is not None:
             if jnp.issubdtype(arr.dtype, jnp.complexfloating):
-                arr = arr.astype(cdt)
+                arr = arr.astype(ccdt)
             elif jnp.issubdtype(arr.dtype, jnp.floating):
                 arr = arr.astype(rdt)
         kw[f] = arr

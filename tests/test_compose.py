@@ -210,3 +210,38 @@ def test_auto_operator_routes_powerlaw_to_hyb(rng):
     assert isinstance(A, SumOperator)
     x = rng.standard_normal(n)
     np.testing.assert_allclose(np.asarray(A.matvec(x)), dense @ x, rtol=1e-10)
+
+
+def test_hyb_rejects_complex(rng):
+    # combining HYB with complex would silently drop imaginary parts in the
+    # ELL part's native packing (ADVICE.md round 3) — must hard-error
+    from lsqr_tpu.ops.structured import hyb_operator
+
+    rows, cols, vals, dense = _powerlaw_coo(rng)
+    m, n = dense.shape
+    with pytest.raises(ValueError, match="real-only"):
+        hyb_operator(m, n, vals.astype(np.complex128) * (1 + 1j), rows, cols)
+
+
+def test_hyb_width_includes_w1_boundary():
+    # cost(w) is convex piecewise-linear; with many EMPTY rows and a few
+    # moderately-heavy ones its minimum sits at the w=1 boundary, below the
+    # smallest distinct row length (ADVICE.md round 3): 10 rows of 5 entries
+    # in 1000 rows -> cost(1) = 1000 + 8*40 = 1320 < cost(5) = 5000
+    from lsqr_tpu.ops.compose import SumOperator
+    from lsqr_tpu.ops.structured import hyb_operator
+
+    m, n = 1000, 64
+    rows = np.repeat(np.arange(10) * 100, 5)
+    cols = np.tile(np.arange(5), 10)
+    vals = np.arange(50, dtype=np.float64) + 1.0
+    A = hyb_operator(m, n, vals, rows, cols)
+    assert isinstance(A, SumOperator)
+    assert A.ops[0].vals.shape[1] == 1  # ELL width at the boundary
+    dense = np.zeros((m, n))
+    np.add.at(dense, (rows, cols), vals)
+    x = np.linspace(-1.0, 1.0, n)
+    np.testing.assert_allclose(np.asarray(A.matvec(x)), dense @ x, rtol=1e-12)
+    y = np.linspace(1.0, 2.0, m)
+    np.testing.assert_allclose(np.asarray(A.rmatvec(y)), dense.T @ y,
+                               rtol=1e-12)

@@ -218,3 +218,28 @@ def test_sibling_checkpoint_preemption_resume(rng, tmp_path):
                             segment_iters=100, resume_from=ckpt)
     assert int(res.itn) == int(ref.itn)
     np.testing.assert_array_equal(np.asarray(res.x), np.asarray(ref.x))
+
+
+def test_load_state_complex_checkpoint_real_dtype_request(rng, tmp_path):
+    """A real `dtype` request on a COMPLEX checkpoint casts vector fields to
+    the matching complex precision instead of silently dropping the
+    imaginary parts (ADVICE.md round 3)."""
+    import jax.numpy as jnp
+
+    from lsqr_tpu.utils.checkpoint import lsqr_checkpointed, load_state
+
+    m, n, nnz = 60, 40, 300
+    rows = rng.integers(0, m, nnz)
+    cols = rng.integers(0, n, nnz)
+    vals = (rng.standard_normal(nnz) + 1j * rng.standard_normal(nnz))
+    A = lt.coo_operator(m, n, vals, rows, cols)
+    b = rng.standard_normal(m) + 1j * rng.standard_normal(m)
+    ckpt = str(tmp_path / "z.npz")
+    lsqr_checkpointed(A, b, 0.05, segment_iters=4, checkpoint_path=ckpt,
+                      itnlim=8)
+    carry = load_state(ckpt, dtype=np.float32)
+    assert carry.u.dtype == jnp.complex64
+    assert carry.x.dtype == jnp.complex64
+    assert np.abs(np.asarray(carry.u).imag).max() > 0
+    # scalar recurrence fields stay REAL at the requested precision
+    assert carry.rhobar.dtype == jnp.float32
