@@ -72,6 +72,7 @@ from .ops.structured import (
     hyb_operator,
     ell_operator,
 )
+from .ops.zdia import ZDIAOperator, zdia_operator, zdia_operator_device
 from .cgls import CGLS_ISTOP_MESSAGES, CGLSResult, cgls
 from .craig import CRAIG_ISTOP_MESSAGES, CRAIGResult, craig
 from .lsmr import LSMR_ISTOP_MESSAGES, LSMRResult, lsmr
@@ -150,6 +151,9 @@ __all__ = [
     "BlockELLOperator",
     "dia_operator",
     "dia_shared_operator",
+    "ZDIAOperator",
+    "zdia_operator",
+    "zdia_operator_device",
     "hyb_operator",
     "ell_operator",
     "block_ell_operator",

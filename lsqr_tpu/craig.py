@@ -90,7 +90,10 @@ def _build(
     # the forward-substitution y_k are REAL (rmatvec is the conjugate-
     # transpose product — see solver._build)
     rdtype = jnp.zeros((), dtype).real.dtype
-    if rdtype != dtype and pair:
+    if rdtype != dtype and pair and not getattr(
+        A, "supports_complex_pair", False
+    ):
+        # ZDIAOperator's plane-split pair kernel handles complex
         raise ValueError(
             "fused pair kernels are real-f32 only; set pair=False for "
             "complex operators"

@@ -153,7 +153,9 @@ def _build(
     # real norms either way)
     rdtype = jnp.zeros((), dtype).real.dtype
     is_complex = rdtype != dtype
-    if is_complex and pair:
+    if is_complex and pair and not getattr(A, "supports_complex_pair", False):
+        # ZDIAOperator's plane-split pair kernel handles complex; the
+        # real-f32 kernels do not
         raise ValueError(
             "fused pair kernels are real-f32 only; set pair=False for "
             "complex operators"

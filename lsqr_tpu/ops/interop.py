@@ -150,10 +150,13 @@ def from_scipy(sp_matrix, *, dtype=None, format: Optional[str] = None) -> Linear
     coo = sp_matrix.tocoo()
     coo.sum_duplicates()
     m, n = coo.shape
-    if np.iscomplexobj(coo.data) and format not in (None, "coo"):
+    if np.iscomplexobj(coo.data) and format not in (None, "coo", "dia"):
+        # 'dia' is allowed: dia_operator dispatches complex stripes to the
+        # plane-split ZDIA streaming format (ops/zdia.py)
         raise ValueError(
             f"format={format!r} is real-only; complex matrices use the COO "
-            "path (format='coo' or None)"
+            "path (format='coo' or None) or the banded ZDIA path "
+            "(format='dia')"
         )
     if format is None:
         return auto_operator(
@@ -201,10 +204,21 @@ def auto_operator(m, n, vals, rows, cols, *, dtype=None,
     if nnz == 0:
         return coo_operator(m, n, vals_np, rows_np, cols_np, dtype=dtype)
     if np.iscomplexobj(vals_np):
-        # the structured streaming formats (DIA/JDIA/BlockELL/ELL) are
-        # real-only (f32 Pallas kernels, transpose packings without conj);
-        # complex matrices take the fully-general COO path, whose
-        # segment-sum products (and conjugated adjoint) support complex
+        # complex BANDED matrices stream through the plane-split ZDIA
+        # format (ops/zdia.py — each product is 4 real stripe passes, the
+        # pair kernel reads each plane once); everything else takes the
+        # fully-general COO path, whose segment-sum products (and
+        # conjugated adjoint) support complex
+        diags = np.unique(cols_np.astype(np.int64) - rows_np)
+        if len(diags) * m <= 4 * nnz and len(diags) <= 1024:
+            from .zdia import zdia_operator
+
+            stripes = np.zeros((len(diags), m), vals_np.dtype)
+            idx = np.searchsorted(diags, cols_np.astype(np.int64) - rows_np)
+            np.add.at(stripes, (idx, rows_np), vals_np)
+            return zdia_operator(
+                m, n, tuple(int(k) for k in diags), stripes, dtype=dtype
+            )
         return coo_operator(m, n, vals_np, rows_np, cols_np, dtype=dtype)
 
     diags = np.unique(cols_np.astype(np.int64) - rows_np)

@@ -39,6 +39,7 @@ __all__ = [
     "dia_product_shared_axpy",
     "dia_shared_geometry",
     "jdia_matvec",
+    "zdia_pair",
 ]
 
 
@@ -1828,3 +1829,184 @@ def dia_product_shared_axpy(
         interpret=interpret,
     )(cs, dp, vecp, ypad)
     return out[:dim_out]
+
+
+# ---------------------------------------------------------------------------
+# Complex DIA product pair — plane-split streaming kernel
+# ---------------------------------------------------------------------------
+#
+# TPU has no native complex arithmetic; XLA decomposes c64 into interleaved
+# real ops that defeat the stripe-streaming layout. The TPU-native form is
+# PLANE SPLITTING: a complex banded matrix A = Ar + i*Ai is stored as two
+# f32 stripe planes, and the bidiagonalization product pair
+#
+#     u = A (win*c1) - c2*y,      z = A^H u
+#
+# (c1, c2 REAL — the complex Paige-Saunders recurrence keeps every scalar
+# real, see solver._build) becomes per row tile:
+#
+#     ur = Ar xr' - Ai xi' - c2 yr        zr[j+k] += Ar[d,j] ur + Ai[d,j] ui
+#     ui = Ar xi' + Ai xr' - c2 yi        zi[j+k] += Ar[d,j] ui - Ai[d,j] ur
+#
+# Each plane block is read from HBM ONCE for all four products (the
+# adjoint reuses the forward tile via the same overlap-add trick as
+# `dia_pair`), so pair traffic is 2 plane reads = 8 bytes per complex nnz
+# — 2x the f32 pair's 4 bytes, the plane-split speed of light. Reference
+# anchor: the product pair lsqr.f90:681-694 (real-only there).
+
+
+def _zdia_pair_kernel(
+    offsets, lo, hi, tm, win, W, m_total,
+    data_ref, yr_ref, yi_ref, sc_ref, x_hbm,
+    ur_ref, ui_ref, zr_ref, zi_ref, xw0_ref, xw1_ref, sem
+):
+    t = pl.program_id(0)
+    nt = pl.num_programs(0)
+    nd = len(offsets)
+    bufs = (xw0_ref, xw1_ref)
+
+    def window_dma(slot, tile):
+        return pltpu.make_async_copy(
+            x_hbm.at[:, pl.ds(tile * tm, win)], bufs[slot], sem.at[slot]
+        )
+
+    @pl.when(t == 0)
+    def _():
+        window_dma(0, 0).start()
+
+    even = t % 2 == 0
+
+    @pl.when((t + 1 < nt) & even)
+    def _():
+        window_dma(1, t + 1).start()
+
+    @pl.when((t + 1 < nt) & jnp.logical_not(even))
+    def _():
+        window_dma(0, t + 1).start()
+
+    @pl.when(even)
+    def _():
+        window_dma(0, t).wait()
+
+    @pl.when(jnp.logical_not(even))
+    def _():
+        window_dma(1, t).wait()
+
+    c1 = sc_ref[0, 0]
+    c2 = sc_ref[1, 0]
+    xw = jnp.where(even, xw0_ref[:], xw1_ref[:]).astype(jnp.float32) * c1
+    xwr = xw[0]
+    xwi = xw[1]
+
+    ragged = m_total % tm != 0
+    if ragged:
+        # stripe blocks beyond m are UNDEFINED — zero them (y/x are
+        # zero-padded by the caller)
+        idx = t * tm + jax.lax.broadcasted_iota(jnp.int32, (tm, 1), 0)[:, 0]
+        valid = idx < m_total
+    srs, sis = [], []
+    for d in range(nd):
+        r = data_ref[d, :].astype(jnp.float32)
+        q = data_ref[nd + d, :].astype(jnp.float32)
+        if ragged:
+            r = jnp.where(valid, r, 0.0)
+            q = jnp.where(valid, q, 0.0)
+        srs.append(r)
+        sis.append(q)
+
+    accr = (-c2) * yr_ref[:].astype(jnp.float32)
+    acci = (-c2) * yi_ref[:].astype(jnp.float32)
+    for d, k in enumerate(offsets):
+        segr = jax.lax.slice(xwr, (lo + k,), (lo + k + tm,))
+        segi = jax.lax.slice(xwi, (lo + k,), (lo + k + tm,))
+        accr = accr + srs[d] * segr - sis[d] * segi
+        acci = acci + srs[d] * segi + sis[d] * segr
+    ur_ref[:] = accr.astype(ur_ref.dtype)
+    ui_ref[:] = acci.astype(ui_ref.dtype)
+
+    # conjugate-transpose partials, overlap-added by the caller (see
+    # _dia_pair_kernel for the static-slice read-modify-write rationale)
+    zr_ref[:] = jnp.zeros((W,), zr_ref.dtype)
+    zi_ref[:] = jnp.zeros((W,), zi_ref.dtype)
+    for d, k in enumerate(offsets):
+        cr = srs[d] * accr + sis[d] * acci
+        ci = srs[d] * acci - sis[d] * accr
+        s0 = lo + k
+        zr_ref[s0:s0 + tm] = zr_ref[s0:s0 + tm] + cr
+        zi_ref[s0:s0 + tm] = zi_ref[s0:s0 + tm] + ci
+
+
+def zdia_pair(dr, di, y, win_vec, c1, c2, *, offsets, m, n, interpret=False,
+              tm=None):
+    """Complex product pair in ONE pass over the two stripe planes:
+        u = (dr + i*di, offsets) @ (win_vec * c1)  -  c2 * y
+        z = A^H u
+    dr/di: (ndiag, m) f32 stripe planes; y: (m,) complex; win_vec: (n,)
+    complex; c1/c2 REAL scalars. Returns (u (m,), z (n,)) complex64."""
+    ks = tuple(offsets)
+    kmin, kmax = min(ks), max(ks)
+    if tm is None:
+        # half the real pair's tiles: two planes + two components double
+        # the per-tile VMEM footprint
+        tm = 32768 if m >= 8_000_000 else (
+            16384 if m >= 4_000_000 else (8192 if m >= 8192 else max(1024, min(m, 1024)))
+        )
+    nt = -(-m // tm)
+    lo = max(0, -kmin)
+    hi = max(0, kmax)
+    win = -(-(lo + kmax + tm) // 1024) * 1024
+    W = -(-(lo + tm + hi) // 1024) * 1024
+    xp_len = max(lo + n, (nt - 1) * tm + win)
+    xp_len = -(-xp_len // 1024) * 1024
+    xp = jnp.zeros((2, xp_len), jnp.float32)
+    xp = xp.at[0, lo : lo + n].set(jnp.real(win_vec).astype(jnp.float32))
+    xp = xp.at[1, lo : lo + n].set(jnp.imag(win_vec).astype(jnp.float32))
+    yr = jnp.zeros((nt * tm,), jnp.float32).at[:m].set(
+        jnp.real(y).astype(jnp.float32))
+    yi = jnp.zeros((nt * tm,), jnp.float32).at[:m].set(
+        jnp.imag(y).astype(jnp.float32))
+    sc = jnp.zeros((8, 128), jnp.float32)
+    sc = sc.at[0, :].set(jnp.asarray(c1, jnp.float32))
+    sc = sc.at[1, :].set(jnp.asarray(c2, jnp.float32))
+    d2 = jnp.concatenate([dr, di], axis=0)
+
+    kernel = functools.partial(_zdia_pair_kernel, ks, lo, hi, tm, win, W, m)
+    ur, ui, zrf, zif = pl.pallas_call(
+        kernel,
+        grid=(nt,),
+        in_specs=[
+            pl.BlockSpec((2 * len(ks), tm), lambda t: (0, t),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((tm,), lambda t: (t,), memory_space=pltpu.VMEM),
+            pl.BlockSpec((tm,), lambda t: (t,), memory_space=pltpu.VMEM),
+            pl.BlockSpec((8, 128), lambda t: (0, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec(memory_space=pl.ANY),
+        ],
+        out_specs=(
+            pl.BlockSpec((tm,), lambda t: (t,), memory_space=pltpu.VMEM),
+            pl.BlockSpec((tm,), lambda t: (t,), memory_space=pltpu.VMEM),
+            pl.BlockSpec((W,), lambda t: (t,), memory_space=pltpu.VMEM),
+            pl.BlockSpec((W,), lambda t: (t,), memory_space=pltpu.VMEM),
+        ),
+        out_shape=(
+            jax.ShapeDtypeStruct((nt * tm,), jnp.float32),
+            jax.ShapeDtypeStruct((nt * tm,), jnp.float32),
+            jax.ShapeDtypeStruct((nt * W,), jnp.float32),
+            jax.ShapeDtypeStruct((nt * W,), jnp.float32),
+        ),
+        scratch_shapes=[
+            pltpu.VMEM((2, win), jnp.float32),
+            pltpu.VMEM((2, win), jnp.float32),
+            pltpu.SemaphoreType.DMA((2,)),
+        ],
+        interpret=interpret,
+    )(d2, yr, yi, sc, xp)
+    ur = jax.lax.optimization_barrier(ur)
+    ui = jax.lax.optimization_barrier(ui)
+    zrf = jax.lax.optimization_barrier(zrf)
+    zif = jax.lax.optimization_barrier(zif)
+    zr = _overlap_add(zrf.reshape(nt, W), nt, tm, W, lo, n, jnp.float32)
+    zi = _overlap_add(zif.reshape(nt, W), nt, tm, W, lo, n, jnp.float32)
+    u = jax.lax.complex(ur[:m], ui[:m])
+    z = jax.lax.complex(zr, zi)
+    return u, z

@@ -349,8 +349,15 @@ def dia_operator(
     (they are zeroed defensively here). The transpose stripe packing is
     precomputed so SpMV-T streams exactly like SpMV.
     ``storage_dtype='bfloat16'`` selects bf16 stripe STORAGE with f32
-    compute (see :func:`dia_operator_device`)."""
+    compute (see :func:`dia_operator_device`). Complex stripes dispatch to
+    the plane-split :func:`lsqr_tpu.zdia_operator`."""
     data = np.asarray(jnp.asarray(data, dtype=dtype))
+    if np.iscomplexobj(data):
+        if storage_dtype is not None:
+            raise ValueError("storage_dtype applies to real stripes only")
+        from .zdia import zdia_operator
+
+        return zdia_operator(m, n, offsets, data, use_pallas=use_pallas)
     offsets = tuple(int(k) for k in offsets)
     if data.shape != (len(offsets), m):
         raise ValueError(

@@ -171,7 +171,11 @@ def _build(
             "fused half-steps compute in f32 and cannot carry a wider "
             "scalar_dtype; set fused=False for the mixed-precision mode"
         )
-    if is_complex and (fused or pair):
+    if is_complex and (fused or pair) and not (
+        pair and getattr(A, "supports_complex_pair", False)
+    ):
+        # operators with plane-split complex pair kernels (ZDIAOperator)
+        # advertise supports_complex_pair; everything else keeps the guard
         raise ValueError(
             "fused/pair half-step kernels are real-f32 only; "
             "set fused=False, pair=False for complex operators"
@@ -304,7 +308,7 @@ def _build(
                     y=c.u, win=c.v,
                     c1=inv_alpha_prev, c2=c.alpha * inv_beta_prev,
                 )
-                ssq_u = jnp.sum(jnp.square(u))
+                ssq_u = jnp.sum(_abs2(u))
                 if axis_m is not None:  # row-sharded: complete the norm
                     ssq_u = jax.lax.psum(ssq_u, axis_m)
             else:
@@ -313,7 +317,9 @@ def _build(
                     forward=True, y=c.u, win=c.v,
                     c1=inv_alpha_prev, c2=c.alpha * inv_beta_prev,
                 )
-            beta = jnp.sqrt(ssq_u).astype(dtype)
+            # scalars are REAL even for complex vectors (rdtype == dtype in
+            # the real case this path was written for)
+            beta = jnp.sqrt(ssq_u).astype(rdtype)
             temp = d2norm(c.alpha, beta)
             temp = d2norm(temp, damp)
             anorm = d2norm(c.anorm, temp)
@@ -323,7 +329,7 @@ def _build(
                 # v_new = z/beta - beta * v_true (elementwise; fuses with
                 # the norm reduction in one XLA pass)
                 v_cand = z_adj * vc(inv_beta) - vc(beta * inv_alpha_prev) * c.v
-                ssq_v = jnp.sum(jnp.square(v_cand))
+                ssq_v = jnp.sum(_abs2(v_cand))
                 if axis_n is not None:
                     ssq_v = jax.lax.psum(ssq_v, axis_n)
             else:
@@ -332,7 +338,7 @@ def _build(
                     forward=False, y=c.v, win=u,
                     c1=inv_beta, c2=beta * inv_alpha_prev,
                 )
-            alpha_cand = jnp.sqrt(ssq_v).astype(dtype)
+            alpha_cand = jnp.sqrt(ssq_v).astype(rdtype)
             v = jnp.where(beta_pos, v_cand, c.v)
             alpha = jnp.where(beta_pos, alpha_cand, c.alpha)
             # v_true for the x/w update below

@@ -183,9 +183,17 @@ def test_complex_interop_routing(rng):
     A = lt.from_scipy(sp)
     from lsqr_tpu.ops.coo import COOOperator
 
-    assert isinstance(A, COOOperator)  # complex routes to the COO path
+    assert isinstance(A, COOOperator)  # non-banded complex -> COO path
     with pytest.raises(ValueError, match="real-only"):
-        lt.from_scipy(sp, format="dia")
+        lt.from_scipy(sp, format="ell")
+    # forced DIA builds the plane-split complex streaming format (round 4)
+    from lsqr_tpu.ops.zdia import ZDIAOperator
+
+    Ad = lt.from_scipy(sp, format="dia")
+    assert isinstance(Ad, ZDIAOperator)
+    xz = rng.standard_normal(30) + 1j * rng.standard_normal(30)
+    np.testing.assert_allclose(np.asarray(Ad.matvec(xz)), dense @ xz,
+                               rtol=1e-11)
     x = rng.standard_normal(30) + 1j * rng.standard_normal(30)
     np.testing.assert_allclose(np.asarray(A.matvec(x)), dense @ x, rtol=1e-11)
 
