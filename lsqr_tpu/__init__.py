@@ -72,6 +72,7 @@ from .ops.structured import (
     hyb_operator,
     ell_operator,
 )
+from .ops.wcoo import WCOOOperator, wcoo_operator
 from .ops.zdia import ZDIAOperator, zdia_operator, zdia_operator_device
 from .cgls import CGLS_ISTOP_MESSAGES, CGLSResult, cgls
 from .craig import CRAIG_ISTOP_MESSAGES, CRAIGResult, craig
@@ -154,6 +155,8 @@ __all__ = [
     "ZDIAOperator",
     "zdia_operator",
     "zdia_operator_device",
+    "WCOOOperator",
+    "wcoo_operator",
     "hyb_operator",
     "ell_operator",
     "block_ell_operator",

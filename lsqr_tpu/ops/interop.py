@@ -15,6 +15,7 @@ from __future__ import annotations
 
 from typing import Optional
 
+import jax.numpy as jnp
 import numpy as np
 
 from .coo import COOOperator, coo_operator
@@ -246,6 +247,24 @@ def auto_operator(m, n, vals, rows, cols, *, dtype=None,
             return cand
     except (ValueError, RuntimeError):
         pass
+
+    # WCOO: unstructured sparsity with a small n — the crossbar/MXU
+    # scatter-free Pallas kernels (round 4; ~25x the COO segment-sum on
+    # TPU). Tall-skinny least-squares and the per-device slices of 2-D
+    # column sharding land here; f64 keeps the exact COO path and the
+    # packer refuses pathological row distributions (falls through).
+    from .wcoo import WCOOPackError, wcoo_operator
+
+    # effective dtype follows jnp.asarray semantics (f64 input downcasts
+    # to f32 unless x64 is enabled) — same rule coo_operator applies
+    eff_dtype = (jnp.dtype(dtype) if dtype is not None
+                 else jnp.empty((), vals_np.dtype).dtype)
+    if n <= 4096 and m >= 16384 and eff_dtype == jnp.float32:
+        try:
+            return wcoo_operator(m, n, vals_np, rows_np, cols_np,
+                                 dtype=dtype)
+        except WCOOPackError:
+            pass
 
     try:
         return block_ell_operator(
