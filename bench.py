@@ -71,8 +71,13 @@ TPU_ATTEMPT_BUDGET_S = int(os.environ.get("LSQR_BENCH_TPU_ATTEMPT_S", "140"))
 TPU_MAX_ATTEMPTS = 3
 
 PALLAS_STAGES = ("shared_pair", "pair", "separate")
-ALL_STAGES = ("health", "shared_pair", "pair", "solve", "separate",
-              "xla", "xla_bf16")
+ALL_STAGES = ("health", "shared_pair", "pair", "zipf", "solve", "separate",
+              "xla", "xla_bf16", "solve_bf16")
+
+# WCOO general-sparsity stage shape: Zipf(1.1) columns, uniform rows
+ZIPF_M = 1 << 21
+ZIPF_N = 2048
+ZIPF_NNZ = 10 * (1 << 20)
 
 
 # --------------------------------------------------------------------------
@@ -217,6 +222,36 @@ def bench_separate(m, iters=30):
                          jnp.ones((m,), jnp.float32), iters)
 
 
+def bench_zipf(iters=30):
+    """WCOO fused pair on a 10.5M-nnz Zipf(1.1) general-sparsity matrix
+    (round 4): the crossbar/MXU scatter-free kernels for unstructured
+    patterns with small n (ops/pallas_wcoo.py). The COO segment-sum this
+    replaces measures ~0.06-0.1 Gnnz/s on TPU. Throughput is on REAL
+    nnz (pack padding ~1%)."""
+    import numpy as np
+
+    import jax
+    import jax.numpy as jnp
+
+    from lsqr_tpu.ops.wcoo import wcoo_operator
+
+    rng = np.random.default_rng(0)
+    cz = rng.zipf(1.1, size=3 * ZIPF_NNZ) - 1
+    cz = cz[cz < ZIPF_N][:ZIPF_NNZ].astype(np.int64)
+    rows = np.sort(rng.integers(0, ZIPF_M, ZIPF_NNZ).astype(np.int64))
+    vals = rng.standard_normal(ZIPF_NNZ).astype(np.float32)
+    A = wcoo_operator(ZIPF_M, ZIPF_N, vals, rows, cz)
+    y0 = jnp.zeros((ZIPF_M,), jnp.float32)
+
+    @jax.jit
+    def step(A_, y_, v):
+        u, z = A_.fused_pair(y=y_, win=v, c1=1.0, c2=0.0)
+        return z * 1e-9
+
+    return _time_chained(lambda v: step(A, y0, v),
+                         jnp.ones((ZIPF_N,), jnp.float32), iters)
+
+
 def bench_xla(m, iters=30, storage_dtype=None):
     """Blocked-XLA DIA path: never touches the Mosaic compile helper.
     f32 uses the blocked XLA PAIR; bf16 storage uses the separate blocked
@@ -260,7 +295,7 @@ def bench_xla(m, iters=30, storage_dtype=None):
     return (time.perf_counter() - t0) / iters
 
 
-def bench_solve(m, variant, itn=64):
+def bench_solve(m, variant, itn=64, storage_dtype=None):
     """End-to-end damped LSQR solve, ms/iteration, through the real user
     path (lsqr() on a DIA operator) — catches solver-loop regressions the
     kernel-pair stages cannot see. variant 'pallas' is the auto TPU route
@@ -272,7 +307,8 @@ def bench_solve(m, variant, itn=64):
 
     use_pallas = None if variant == "pallas" else False
     A = dia_operator_device(m, m, OFFSETS, _stripe_data(m),
-                            use_pallas=use_pallas)
+                            use_pallas=use_pallas,
+                            storage_dtype=storage_dtype)
     b = jnp.ones((m,), jnp.float32)
     kw = dict(itnlim=itn, atol=0.0, btol=0.0, conlim=0.0)
     res = lt.lsqr(A, b, 0.01, **kw)  # compile + warm
@@ -320,6 +356,15 @@ def child_main(poisoned):
                 continue
             break
 
+    # General-sparsity WCOO pair (round 4; fixed shape, no ladder).
+    if not skip("zipf"):
+        try:
+            _begin("zipf", ZIPF_M)
+            dt = bench_zipf()
+            _emit("zipf", gnnz=round(2 * ZIPF_NNZ / dt / 1e9, 2), m=ZIPF_M)
+        except Exception as e:
+            _emit("error", error=f"zipf: {type(e).__name__}: {e}"[:200])
+
     # End-to-end solve: auto (Pallas while-loop) first, XLA fallback.
     if not skip("solve"):
         for variant in ("pallas", "xla"):
@@ -366,6 +411,15 @@ def child_main(poisoned):
             _emit("xla_bf16", gnnz=round(2 * NNZ / dt / 1e9, 2), m=M)
         except Exception as e:
             _emit("error", error=f"xla_bf16: {type(e).__name__}: {e}"[:200])
+    # bf16-STORAGE solve ms/iter (informational: per-iter wins ~1.5x but
+    # itn inflates 2.4x+ end-to-end — docs/precision.md round-4 table)
+    if not skip("solve_bf16"):
+        try:
+            _begin("solve_bf16", M)
+            dt = bench_solve(M, "xla", storage_dtype="bfloat16")
+            _emit("solve_bf16", ms_iter=round(dt * 1e3, 2), m=M)
+        except Exception as e:
+            _emit("error", error=f"solve_bf16: {type(e).__name__}: {e}"[:200])
     return 0
 
 
@@ -542,7 +596,9 @@ def parent_main():
         "separate_kernels_gnnz": g("separate"),
         "xla_fallback_gnnz": g("xla"),
         "xla_bf16_storage_gnnz": g("xla_bf16"),
+        "zipf_wcoo_pair_gnnz": g("zipf"),
         "solve_ms_iter": g("solve", "ms_iter"),
+        "solve_bf16_ms_iter": g("solve_bf16", "ms_iter"),
         "solve_path": stages.get("solve", {}).get("path", ""),
         "cpu_baseline_gnnz": round(gnnz_cpu, 2),
     }

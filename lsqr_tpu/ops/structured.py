@@ -728,8 +728,19 @@ def hyb_operator(m, n, vals, rows, cols, *, width=None, dtype=None):
 
     ``width=None`` picks the cost-balanced width: the smallest w where the
     padded ELL volume m*w plus SPILL_COST x the spilled entries stops
-    improving (scattered entries cost ~an order of magnitude more than
-    streamed ones on TPU — BENCHMARKS.md's 0.1 vs >10 Gnnz/s).
+    improving. SPILL_COST is calibrated from MEASUREMENT, not theory:
+    on TPU the ELL gather and the COO scatter both hit XLA's scalar
+    gather/scatter floor (0.12 vs 0.10 Gnnz/s, round 3), so a spilled
+    entry costs ~1.2x a streamed slot in time and 1.5x in bytes
+    (12 vs 8 B) — SPILL_COST = 1.5 balances the two. On TPU, HYB is
+    therefore a MEMORY format (it caps ELL's power-law padding blowup),
+    not a speed format: route general sparsity with n <= 4096 to
+    :func:`lsqr_tpu.wcoo_operator` instead (~25x faster, round 4); HYB
+    remains the fallback for large-n unstructured patterns. (A direct
+    HYB benchmark at 10M-nnz Zipf(1.1) could not be banked in round 4:
+    the relay's remote-compile helper rejects the fori-of-gather/scatter
+    graph and eager steps exceed the bench budget at the ~0.1 Gnnz/s
+    floor.)
     """
     from .compose import add_operators
     from .coo import coo_operator
@@ -755,7 +766,10 @@ def hyb_operator(m, n, vals, rows, cols, *, width=None, dtype=None):
     rank = np.arange(len(vals_s)) - np.repeat(row_start, counts)
 
     if width is None:
-        SPILL_COST = 8  # scatter-entry cost multiple vs streamed (measured ~10x)
+        # measured on TPU: spilled COO entry ~ 1.2x a streamed ELL slot
+        # in time (both at the XLA gather/scatter floor) and 1.5x in
+        # bytes; round 3's assumed 8x came from a GPU-era mental model
+        SPILL_COST = 1.5
         wmax = int(counts.max())
         best_w, best_cost = wmax, m * wmax
         # cost(w) = m*w + S*spilled(w) is convex piecewise-linear with
