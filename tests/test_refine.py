@@ -395,3 +395,38 @@ def test_refined_with_sharded_inner_solver():
     ref = lsqr_refined(A, b, cycles=8, solver=sharded_inner,
                        precondition=None)
     assert np.linalg.norm(ref.x - x_star) < 1e-11 * np.linalg.norm(x_star)
+
+
+def test_refine_no_wall_at_high_cond():
+    """Round-4 ceiling analysis (docs/precision.md): with f64 host
+    closures there is no algorithmic wall at cond ~1e8 — the error
+    follows ~eps64*cond out to 1e10 and the loop reports stagnated
+    (attainable floor), not converged."""
+    import numpy as np
+    import jax.numpy as jnp
+
+    from lsqr_tpu.ops.linop import DenseOperator
+    from lsqr_tpu.refine import lsqr_refined
+
+    rng = np.random.default_rng(0)
+    m, n = 300, 150
+    U, _ = np.linalg.qr(rng.standard_normal((m, n)))
+    V, _ = np.linalg.qr(rng.standard_normal((n, n)))
+    for logc, bound in ((9, 5e-7), (10, 5e-6)):
+        s = np.logspace(0, -logc, n)
+        A64 = (U * s) @ V.T
+        x_true = rng.standard_normal(n)
+        b = A64 @ x_true
+        res = lsqr_refined(
+            DenseOperator(a=jnp.asarray(A64.astype(np.float32))),
+            jnp.asarray(b),
+            host_matvec=lambda x: A64 @ x,
+            host_rmatvec=lambda y: A64.T @ y,
+            cycles=12,
+        )
+        err = np.linalg.norm(np.asarray(res.x, np.float64) - x_true)
+        err /= np.linalg.norm(x_true)
+        # far below the f32-stored matrix's own ~eps32*cond gap (>0.2
+        # at these condition numbers), and below ~10x eps64*cond
+        assert err < bound, (logc, err)
+        assert res.stagnated or res.converged
