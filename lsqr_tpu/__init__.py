@@ -73,7 +73,8 @@ from .ops.structured import (
     ell_operator,
 )
 from .ops.wcoo import WCOOOperator, wcoo_operator
-from .ops.zdia import ZDIAOperator, zdia_operator, zdia_operator_device
+from .ops.zdia import (ZDIAOperator, ZJDIAOperator, zdia_operator,
+                       zdia_operator_device, zjdia_operator)
 from .cgls import CGLS_ISTOP_MESSAGES, CGLSResult, cgls
 from .craig import CRAIG_ISTOP_MESSAGES, CRAIGResult, craig
 from .lsmr import LSMR_ISTOP_MESSAGES, LSMRResult, lsmr
@@ -153,6 +154,8 @@ __all__ = [
     "dia_operator",
     "dia_shared_operator",
     "ZDIAOperator",
+    "ZJDIAOperator",
+    "zjdia_operator",
     "zdia_operator",
     "zdia_operator_device",
     "WCOOOperator",

@@ -220,6 +220,17 @@ def auto_operator(m, n, vals, rows, cols, *, dtype=None,
             return zdia_operator(
                 m, n, tuple(int(k) for k in diags), stripes, dtype=dtype
             )
+        # jitter-bounded complex patterns: plane-split JDIA (4 real
+        # streaming products per complex product; round 4)
+        from .zdia import zjdia_operator
+
+        try:
+            zcand = zjdia_operator(m, n, vals_np, rows_np, cols_np,
+                                   dtype=dtype)
+            if zcand.fit_fraction >= 0.95:
+                return zcand
+        except (ValueError, RuntimeError):
+            pass
         return coo_operator(m, n, vals_np, rows_np, cols_np, dtype=dtype)
 
     diags = np.unique(cols_np.astype(np.int64) - rows_np)

@@ -360,3 +360,99 @@ def zdia_operator_device(
         dr=dr, di=di, tdr=tstripes(dr), tdi=tstripes(di),
         m=int(m), n=int(n), offsets=offsets, use_pallas=use_pallas,
     )
+
+
+# ---------------------------------------------------------------------------
+# Complex JDIA — plane splitting over the jittered-diagonal format
+# ---------------------------------------------------------------------------
+
+
+@jax.tree_util.register_dataclass
+@dataclasses.dataclass(frozen=True)
+class ZJDIAOperator(LinearOperator):
+    """Complex general-sparse operator: plane-split over two real
+    :class:`~lsqr_tpu.ops.jdia.JDIAOperator` packings of the SAME
+    sparsity pattern (jitter-bounded diagonals + COO remainder).
+
+    Same arithmetic as :class:`ZDIAOperator` — every product is a fixed
+    combination of four real streaming products, and the adjoint's
+    conjugation is a SIGN in the combination, never a materialized
+    conjugate copy:
+
+        A x   : (Jr xr - Ji xi) + i (Jr xi + Ji xr)
+        A^H y : (Jr' yr + Ji' yi) + i (Jr' yi - Ji' yr)
+
+    The two planes duplicate the jitter/base index arrays (int8/int32 —
+    small next to the f32 slot values); sharing them is a possible
+    follow-up. No fused complex pair kernel yet: `supports_complex_pair`
+    stays False and the solvers run the two-product path.
+    """
+
+    re: object  # JDIAOperator (real plane)
+    im: object  # JDIAOperator (imag plane)
+
+    @property
+    def m(self) -> int:
+        return self.re.m
+
+    @property
+    def n(self) -> int:
+        return self.re.n
+
+    @property
+    def dtype(self):
+        return jnp.dtype(
+            jnp.complex64 if self.re.dtype == jnp.float32 else jnp.complex128
+        )
+
+    @property
+    def nnz(self) -> int:
+        return self.re.nnz
+
+    @property
+    def fit_fraction(self) -> float:
+        return self.re.fit_fraction
+
+    @property
+    def prefers_bounded_loop(self) -> bool:
+        return bool(getattr(self.re, "prefers_bounded_loop", False))
+
+    def matvec(self, x: jax.Array) -> jax.Array:
+        rdt = self.re.dtype
+        xr = jnp.real(x).astype(rdt)
+        xi = jnp.imag(x).astype(rdt)
+        return jax.lax.complex(
+            self.re.matvec(xr) - self.im.matvec(xi),
+            self.re.matvec(xi) + self.im.matvec(xr),
+        )
+
+    def rmatvec(self, y: jax.Array) -> jax.Array:
+        rdt = self.re.dtype
+        yr = jnp.real(y).astype(rdt)
+        yi = jnp.imag(y).astype(rdt)
+        return jax.lax.complex(
+            self.re.rmatvec(yr) + self.im.rmatvec(yi),
+            self.re.rmatvec(yi) - self.im.rmatvec(yr),
+        )
+
+    def todense(self) -> jax.Array:
+        return (self.re.todense()
+                + 1j * self.im.todense()).astype(self.dtype)
+
+
+def zjdia_operator(m, n, vals, rows, cols, *, ns_max=16,
+                   use_pallas=None, dtype=None) -> ZJDIAOperator:
+    """Build a plane-split complex JDIA operator from complex COO
+    triplets (both planes pack the FULL pattern so their jitter slots and
+    remainders line up entry-for-entry)."""
+    from .jdia import jdia_operator
+
+    vals = np.asarray(vals, dtype=dtype if dtype else None)
+    if not np.iscomplexobj(vals):
+        vals = vals.astype(np.complex64)
+    rdt = np.float32 if vals.dtype == np.complex64 else np.float64
+    re = jdia_operator(m, n, vals.real.astype(rdt), rows, cols,
+                       ns_max=ns_max, use_pallas=use_pallas, dtype=rdt)
+    im = jdia_operator(m, n, vals.imag.astype(rdt), rows, cols,
+                       ns_max=ns_max, use_pallas=use_pallas, dtype=rdt)
+    return ZJDIAOperator(re=re, im=im)

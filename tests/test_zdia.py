@@ -204,3 +204,52 @@ def test_dia_operator_dispatches_complex(rng):
 def test_zdia_validation():
     with pytest.raises(ValueError, match="shape"):
         zdia_operator(10, 10, (0, 1), np.zeros((2, 9), np.complex64))
+
+
+def test_zjdia_products_and_solve(rng):
+    """Plane-split complex JDIA (round 4): jitter-bounded complex
+    pattern -> ZJDIA via auto_operator; products vs dense; full solve."""
+    import scipy.sparse
+
+    from lsqr_tpu.ops.zdia import ZJDIAOperator, zjdia_operator
+
+    m, n = 600, 500
+    # guaranteed-full-rank jittered band: every column gets its exact
+    # diagonal entry (dominant), plus +-2-jittered off-diagonal entries
+    drows = np.arange(n)
+    jrows = np.repeat(np.arange(m), 2)
+    jcols = jrows + np.tile([-1, 1], m) + rng.integers(-2, 3, jrows.size)
+    keep = (jcols >= 0) & (jcols < n) & (jcols != jrows)
+    rows = np.concatenate([drows, jrows[keep]])
+    cols = np.concatenate([drows, jcols[keep]])
+    # dedup (jdia requires summed duplicates)
+    key = rows * n + cols
+    _, idx = np.unique(key, return_index=True)
+    rows, cols = rows[idx], cols[idx]
+    vals = (rng.standard_normal(rows.size)
+            + 1j * rng.standard_normal(rows.size))
+    vals[rows == cols] += 8.0
+
+    A = zjdia_operator(m, n, vals, rows, cols)
+    assert A.fit_fraction > 0.9
+    S = scipy.sparse.coo_matrix((vals, (rows, cols)), shape=(m, n))
+    dense = S.toarray()
+    x = rng.standard_normal(n) + 1j * rng.standard_normal(n)
+    y = rng.standard_normal(m) + 1j * rng.standard_normal(m)
+    np.testing.assert_allclose(np.asarray(A.matvec(x)), dense @ x,
+                               rtol=1e-5, atol=1e-5)
+    np.testing.assert_allclose(np.asarray(A.rmatvec(y)),
+                               dense.conj().T @ y, rtol=1e-5, atol=1e-5)
+
+    # auto routing: non-banded (too many distinct diagonals for ZDIA at
+    # this density) jitter-bounded complex -> ZJDIA
+    Aa = lt.auto_operator(m, n, vals, rows, cols)
+    assert isinstance(Aa, ZJDIAOperator) or type(Aa).__name__ == "ZDIAOperator"
+
+    # end-to-end complex solve
+    x_true = rng.standard_normal(n) + 1j * rng.standard_normal(n)
+    b = dense @ x_true
+    res = lt.lsqr(A, b, atol=1e-6, btol=1e-6)
+    assert int(res.istop) in (1, 2)
+    err = np.abs(np.asarray(res.x) - x_true).max()
+    assert err < 1e-3, err
