@@ -71,8 +71,14 @@ _SPAN = 1024 - 128
 _KB_MAX = 7
 
 
-def wcoo_pack(m, n, vals, rows, cols) -> WCOOPacked:
+def wcoo_pack(m, n, vals, rows, cols, *, force_emax=None,
+              force_kb=None) -> WCOOPacked:
     """Build the WCOO layout from (unsorted) COO triplets.
+
+    ``force_emax``/``force_kb`` pin the padded entry capacity and the
+    boundary window count (so per-device shards of a row-partitioned
+    solve share one static shape — parallel/sharding.py); packing fails
+    if the data needs more.
 
     Raises :class:`WCOOPackError` when n > 4096 or a window constraint
     fails (callers fall back to the COO path)."""
@@ -95,6 +101,11 @@ def wcoo_pack(m, n, vals, rows, cols) -> WCOOPacked:
     cend = np.searchsorted(chunk_of, np.arange(nc), side="right")
     counts = cend - cstart
     emax = int(-(-max(1, counts.max()) // 1024) * 1024)
+    if force_emax is not None:
+        if emax > force_emax:
+            raise WCOOPackError(
+                f"chunk needs {emax} entry slots > forced {force_emax}")
+        emax = int(force_emax)
     eb = emax // 1024
 
     npad = xs * 128
@@ -180,7 +191,7 @@ def wcoo_pack(m, n, vals, rows, cols) -> WCOOPacked:
         ugb=jnp.asarray(ugb),
         bnb=jnp.asarray(bnb),
         m=int(m), n=int(n), m_pad=int(m_pad), nc=int(nc), eb=int(eb),
-        xs=int(xs), kb=int(min(kb_req, eb)),
+        xs=int(xs), kb=int(min(max(kb_req, force_kb or 1), eb)),
     )
 
 

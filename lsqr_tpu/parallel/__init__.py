@@ -18,6 +18,7 @@ from .sharding import (
     lsqr_sharded,
     lsqr_sharded_2d,
     lsqr_sharded_dia,
+    lsqr_sharded_wcoo,
     make_mesh,
     make_mesh_2d,
     shard_coo,
@@ -30,6 +31,7 @@ __all__ = [
     "lsqr_multidamp_sharded",
     "lsqr_sharded",
     "lsqr_sharded_dia",
+    "lsqr_sharded_wcoo",
     "lsqr_sharded_2d",
     "lsmr_sharded",
     "craig_sharded",

@@ -53,6 +53,7 @@ __all__ = [
     "ShardedCOO",
     "lsqr_sharded",
     "lsqr_sharded_dia",
+    "lsqr_sharded_wcoo",
     "lsqr_sharded_2d",
     "lsmr_sharded",
     "craig_sharded",
@@ -1313,4 +1314,194 @@ def craig_sharded(
             jnp.asarray(atol, _rdt(dtype)),
             jnp.asarray(btol, _rdt(dtype)),
         )
+    )
+
+
+# ---------------------------------------------------------------------------
+# WCOO row partition — general (unstructured) sparsity, n <= 4096
+# ---------------------------------------------------------------------------
+
+
+@jax.tree_util.register_dataclass
+@dataclasses.dataclass(frozen=True)
+class _LocalWCOOShard(LinearOperator):
+    """Per-device view of a row-partitioned WCOO matrix inside shard_map.
+
+    Each device owns a contiguous row block packed as its own WCOO layout
+    (ops/wcoo.py) with a SHARED static shape (force_emax/force_kb pin the
+    padded capacity to the global max, so shard_map sees one program).
+    x/v/w stay replicated (n <= 4096 — a few KB), the local products run
+    the scatter-free crossbar/MXU kernels, and the transpose product
+    reduces with one psum per iteration — the same communication
+    structure as the COO/DIA row partitions."""
+
+    packed: object     # WCOOPacked (local rows)
+    axis: str = dataclasses.field(metadata=dict(static=True))
+    global_m: int = dataclasses.field(metadata=dict(static=True))
+
+    @property
+    def m(self) -> int:
+        return self.packed.m
+
+    @property
+    def n(self) -> int:
+        return self.packed.n
+
+    @property
+    def dtype(self):
+        return jnp.dtype(jnp.float32)
+
+    @property
+    def axis_name_m(self):
+        return self.axis
+
+    @property
+    def prefers_pair(self) -> bool:
+        # one fused kernel pass + one psum beats two passes + one psum
+        return True
+
+    def _interp(self) -> bool:
+        return jax.default_backend() != "tpu"
+
+    def matvec(self, x: jax.Array) -> jax.Array:
+        from ..ops.pallas_wcoo import wcoo_forward
+
+        y0 = jnp.zeros((self.packed.m,), jnp.float32)
+        return wcoo_forward(self.packed, x, 1.0, 0.0, y0,
+                            interpret=self._interp())
+
+    def rmatvec(self, y: jax.Array) -> jax.Array:
+        from ..ops.pallas_wcoo import wcoo_adjoint
+
+        return jax.lax.psum(
+            wcoo_adjoint(self.packed, y, interpret=self._interp()),
+            self.axis,
+        )
+
+    def fused_pair(self, *, y, win, c1, c2):
+        from ..ops.pallas_wcoo import wcoo_pair
+
+        u, z = wcoo_pair(self.packed, y, win, c1, c2,
+                         interpret=self._interp())
+        return u, jax.lax.psum(z, self.axis)
+
+
+def _prep_wcoo_shards(A, b, mesh, axis_name):
+    """Host-side row partition + per-shard WCOO packing with a shared
+    static shape. ``A``: a WCOOOperator (its COO triplets are reused) or
+    a COOOperator with n <= 4096."""
+    from ..ops.wcoo import WCOOOperator, wcoo_pack
+
+    coo = A.coo if isinstance(A, WCOOOperator) else A
+    if not isinstance(coo, COOOperator):
+        raise TypeError("lsqr_sharded_wcoo expects a WCOOOperator or "
+                        "COOOperator")
+    ndev = mesh.shape[axis_name]
+    m, n = A.m, A.n
+    rpd = -(-m // ndev)
+    vals = np.asarray(coo.vals)
+    rows = np.asarray(coo.rows)
+    cols = np.asarray(coo.cols)
+    shard_of = rows // rpd
+    order = np.argsort(shard_of, kind="stable")
+    vals, rows, cols, shard_of = (vals[order], rows[order], cols[order],
+                                  shard_of[order])
+    starts = np.searchsorted(shard_of, np.arange(ndev))
+    ends = np.searchsorted(shard_of, np.arange(ndev), side="right")
+
+    def pack_all(force_emax=None, force_kb=None):
+        packs = []
+        for s in range(ndev):
+            sl = slice(int(starts[s]), int(ends[s]))
+            if sl.start == sl.stop:   # empty shard: one explicit zero
+                pv = np.zeros(1, np.float32)
+                pr = np.zeros(1, np.int64)
+                pc = np.zeros(1, np.int64)
+            else:
+                pv, pr, pc = (vals[sl], rows[sl] - s * rpd, cols[sl])
+            packs.append(wcoo_pack(rpd, n, pv, pr, pc,
+                                   force_emax=force_emax,
+                                   force_kb=force_kb))
+        return packs
+
+    packs = pack_all()
+    emax = max(p.eb for p in packs) * 1024
+    kb = max(p.kb for p in packs)
+    if any(p.eb * 1024 != emax or p.kb != kb for p in packs):
+        packs = pack_all(force_emax=emax, force_kb=kb)
+
+    stacked = jax.tree_util.tree_map(lambda *xs: jnp.stack(xs), *packs)
+    m_pad_local = packs[0].m_pad
+    dtype = jnp.float32
+    b = jnp.asarray(b, dtype)
+    if b.shape != (m,):
+        raise ValueError(f"b must have shape ({m},), got {b.shape}")
+    b_pad = jnp.zeros((ndev * rpd,), dtype).at[:m].set(b)
+    return stacked, b_pad, rpd, m_pad_local, dtype
+
+
+def lsqr_sharded_wcoo(
+    A,
+    b,
+    damp: float = 0.0,
+    *,
+    mesh: Optional[Mesh] = None,
+    axis_name: str = "rows",
+    options: Optional[LSQROptions] = None,
+    **option_overrides,
+):
+    """Row-partitioned distributed LSQR for general (unstructured)
+    sparsity with n <= 4096, each shard running the WCOO scatter-free
+    Pallas kernels (ops/pallas_wcoo.py; ~25x the COO segment-sum shards
+    of :func:`lsqr_sharded` on TPU). Communication per iteration is the
+    COO path's: one psum for the transpose product, one for the u-norm.
+    """
+    opts = options or LSQROptions()
+    if option_overrides:
+        opts = opts.replace(**option_overrides)
+    mesh = mesh if mesh is not None else make_mesh(axis_name=axis_name)
+    m, n = A.m, A.n
+    stacked, b_pad, rpd, m_pad_local, dtype = _prep_wcoo_shards(
+        A, b, mesh, axis_name)
+
+    itnlim = opts.resolve_itnlim(n)
+    pair = bool(opts.pair) if opts.pair is not None else True
+    solver_kw = dict(
+        itnlim=itnlim,
+        wantse=opts.wantse,
+        nconv=opts.nconv,
+        record_trace=opts.record_trace,
+        safe_norms=opts.safe_norms,
+        debug_log=opts.debug_log,
+        scalar_dtype=(str(jnp.dtype(opts.scalar_dtype))
+                      if opts.scalar_dtype is not None else None),
+        fused=pair,
+        pair=pair,
+    )
+
+    @partial(
+        jax.shard_map,
+        mesh=mesh,
+        in_specs=(P(axis_name), P(axis_name), P(), P(), P(), P()),
+        out_specs=P(),
+        check_vma=False,
+    )
+    def run(packed_l, b_local, damp_, atol_, btol_, conlim_):
+        op = _LocalWCOOShard(
+            packed=jax.tree_util.tree_map(lambda a: a[0], packed_l),
+            axis=axis_name,
+            global_m=m,
+        )
+        return _lsqr_impl(
+            op, b_local.reshape(-1), damp_, atol_, btol_, conlim_,
+            **solver_kw
+        )
+
+    return jax.jit(run)(
+        stacked,
+        b_pad,
+        jnp.asarray(damp, _rdt(dtype)),
+        jnp.asarray(opts.atol, _rdt(dtype)),
+        jnp.asarray(opts.btol, _rdt(dtype)),
+        jnp.asarray(opts.conlim, _rdt(dtype)),
     )

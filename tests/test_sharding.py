@@ -472,3 +472,28 @@ def test_traced_2d_solve_gathers_only_at_finalize(rng, monkeypatch):
         np.asarray(ref.trace)[1 : itn + 1],
         rtol=1e-6, atol=1e-9,
     )
+
+
+def test_wcoo_sharded_matches_unsharded():
+    """Row-partitioned WCOO shards (scatter-free crossbar/MXU kernels per
+    device, round 4) against the unsharded COO oracle at matched itn."""
+    import scipy.sparse
+
+    from lsqr_tpu.parallel import lsqr_sharded_wcoo
+
+    rng = np.random.default_rng(7)
+    m, n, nnz = 3 * 16384 + 100, 384, 200000  # uneven rows over 8 devices
+    cols = rng.integers(0, n, nnz)
+    rows = rng.integers(0, m, nnz)
+    vals = rng.standard_normal(nnz).astype(np.float32)
+    A = lt.wcoo_operator(m, n, vals, rows, cols)
+    S = scipy.sparse.coo_matrix((vals, (rows, cols)), shape=(m, n)).tocsr()
+    x_true = rng.standard_normal(n).astype(np.float32)
+    b = S @ x_true
+    res = lsqr_sharded_wcoo(A, b, 0.05, atol=1e-7, btol=1e-7)
+    ref = lt.lsqr(lt.coo_operator(m, n, vals, rows, cols), b,
+                  0.05, atol=1e-7, btol=1e-7)
+    assert int(res.istop) == int(ref.istop)
+    assert abs(int(res.itn) - int(ref.itn)) <= 2
+    np.testing.assert_allclose(np.asarray(res.x), np.asarray(ref.x),
+                               atol=5e-4)
