@@ -54,6 +54,9 @@ __all__ = [
     "lsqr_sharded",
     "lsqr_sharded_dia",
     "lsqr_sharded_wcoo",
+    "lsmr_sharded_wcoo",
+    "craig_sharded_wcoo",
+    "cgls_sharded_wcoo",
     "lsqr_sharded_2d",
     "lsmr_sharded",
     "craig_sharded",
@@ -1505,3 +1508,78 @@ def lsqr_sharded_wcoo(
         jnp.asarray(opts.btol, _rdt(dtype)),
         jnp.asarray(opts.conlim, _rdt(dtype)),
     )
+
+
+def _wcoo_sibling_sharded(impl, n_scalars):
+    """Factory for the sibling solvers over the WCOO row partition (same
+    collective layout as _dia_sibling_sharded; local products run the
+    scatter-free WCOO kernels)."""
+
+    def solve(A, b, *scalars, mesh=None, axis_name="rows",
+              itnlim=None, safe_norms=True, default_itnlim=None, **impl_kw):
+        mesh = mesh if mesh is not None else make_mesh(axis_name=axis_name)
+        stacked, b_pad, rpd, m_pad_local, dtype = _prep_wcoo_shards(
+            A, b, mesh, axis_name)
+        m, n = A.m, A.n
+        if itnlim is None:
+            itnlim = default_itnlim(m, n)
+        kw = dict(itnlim=int(itnlim), safe_norms=safe_norms, **impl_kw)
+
+        @partial(
+            jax.shard_map,
+            mesh=mesh,
+            in_specs=(P(axis_name), P(axis_name)) + (P(),) * n_scalars,
+            out_specs=P(),
+            check_vma=False,
+        )
+        def run(packed_l, b_local, *sc):
+            op = _LocalWCOOShard(
+                packed=jax.tree_util.tree_map(lambda a: a[0], packed_l),
+                axis=axis_name,
+                global_m=m,
+            )
+            return impl(op, b_local.reshape(-1), *sc, **kw)
+
+        return jax.jit(run)(*_globalize(
+            mesh, stacked, b_pad,
+            *[jnp.asarray(s, dtype) for s in scalars]))
+
+    return solve
+
+
+def lsmr_sharded_wcoo(A, b, damp=0.0, *, mesh=None, axis_name="rows",
+                      atol=1e-6, btol=1e-6, conlim=0.0, itnlim=None,
+                      safe_norms=True, pair=True):
+    """Row-partitioned distributed LSMR on WCOO shards (see
+    :func:`lsqr_sharded_wcoo` for the partition/kernel layout)."""
+    from ..lsmr import _lsmr_impl
+
+    return _wcoo_sibling_sharded(_lsmr_impl, 4)(
+        A, b, damp, atol, btol, conlim, mesh=mesh, axis_name=axis_name,
+        itnlim=itnlim, safe_norms=safe_norms,
+        default_itnlim=lambda m, n: min(m, n), record_trace=False,
+        pair=bool(pair))
+
+
+def craig_sharded_wcoo(A, b, *, mesh=None, axis_name="rows",
+                       atol=1e-6, btol=1e-6, itnlim=None, safe_norms=True,
+                       pair=True):
+    """Row-partitioned distributed CRAIG on WCOO shards."""
+    from ..craig import _craig_impl
+
+    return _wcoo_sibling_sharded(_craig_impl, 2)(
+        A, b, atol, btol, mesh=mesh, axis_name=axis_name,
+        itnlim=itnlim, safe_norms=safe_norms,
+        default_itnlim=lambda m, n: min(m, n), pair=bool(pair))
+
+
+def cgls_sharded_wcoo(A, b, damp=0.0, *, mesh=None, axis_name="rows",
+                      atol=1e-6, btol=1e-6, itnlim=None, safe_norms=True,
+                      pair=True):
+    """Row-partitioned distributed CGLS on WCOO shards."""
+    from ..cgls import _cgls_impl
+
+    return _wcoo_sibling_sharded(_cgls_impl, 3)(
+        A, b, damp, atol, btol, mesh=mesh, axis_name=axis_name,
+        itnlim=itnlim, safe_norms=safe_norms,
+        default_itnlim=lambda m, n: 4 * n, pair=bool(pair))

@@ -497,3 +497,38 @@ def test_wcoo_sharded_matches_unsharded():
     assert abs(int(res.itn) - int(ref.itn)) <= 2
     np.testing.assert_allclose(np.asarray(res.x), np.asarray(ref.x),
                                atol=5e-4)
+
+
+def test_wcoo_sharded_siblings_match_unsharded():
+    """LSMR/CRAIG/CGLS on WCOO row shards vs their unsharded solvers."""
+    import scipy.sparse
+
+    from lsqr_tpu.parallel import (cgls_sharded_wcoo, craig_sharded_wcoo,
+                                   lsmr_sharded_wcoo)
+
+    rng = np.random.default_rng(11)
+    m, n, nnz = 2 * 16384, 256, 120000
+    cols = rng.integers(0, n, nnz)
+    rows = rng.integers(0, m, nnz)
+    vals = rng.standard_normal(nnz).astype(np.float32)
+    A = lt.wcoo_operator(m, n, vals, rows, cols)
+    Ac = lt.coo_operator(m, n, vals, rows, cols)
+    x_true = rng.standard_normal(n).astype(np.float32)
+    S = scipy.sparse.coo_matrix((vals, (rows, cols)), shape=(m, n)).tocsr()
+    b = S @ x_true
+
+    r = lsmr_sharded_wcoo(A, b, 0.02, atol=1e-7, btol=1e-7)
+    ref = lt.lsmr(Ac, b, 0.02, atol=1e-7, btol=1e-7)
+    assert abs(int(r.itn) - int(ref.itn)) <= 2
+    np.testing.assert_allclose(np.asarray(r.x), np.asarray(ref.x), atol=5e-4)
+
+    r = cgls_sharded_wcoo(A, b, 0.02, atol=1e-7, btol=1e-7)
+    ref = lt.cgls(Ac, b, 0.02, atol=1e-7, btol=1e-7)
+    np.testing.assert_allclose(np.asarray(r.x), np.asarray(ref.x), atol=5e-3)
+
+    # CRAIG needs a consistent square-ish system: use m rows of the tall
+    # system's range — solve A x = A x_true exactly
+    r = craig_sharded_wcoo(A, b, atol=1e-7, btol=1e-7)
+    ref = lt.craig(Ac, b, atol=1e-7, btol=1e-7)
+    assert int(r.istop) == int(ref.istop)
+    np.testing.assert_allclose(np.asarray(r.x), np.asarray(ref.x), atol=5e-3)
