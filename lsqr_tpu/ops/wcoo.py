@@ -121,11 +121,11 @@ def wcoo_pack(m, n, vals, rows, cols, *, force_emax=None,
     kb_req = 1
 
     for t in range(nc):
-        s, e = int(cstart[t]), int(cend[t])
-        k = e - s
-        vals_p[t, :k] = vals[s:e]
-        col_p[t, :k] = cols[s:e]
-        rl = (rows[s:e] - t * CR).astype(np.int32)
+        st, e = int(cstart[t]), int(cend[t])
+        k = e - st
+        vals_p[t, :k] = vals[st:e]
+        col_p[t, :k] = cols[st:e]
+        rl = (rows[st:e] - t * CR).astype(np.int32)
         rowl_p[t, :k] = rl
         # zero-valued padding entries sit on the LAST real row (keeps
         # rowl sorted, window spans tight, and that row's sum unchanged)
@@ -134,52 +134,59 @@ def wcoo_pack(m, n, vals, rows, cols, *, force_emax=None,
         cnt = np.bincount(rowl_p[t], minlength=CR)
         # cap at the last REAL entry: the zero padding never changes the
         # prefix value, and pointing past it would inflate the window span
-        gpe[t] = np.minimum(np.cumsum(cnt) - 1, k - 1)   # in [-1, emax)
-        # u-gather window base per 1024-entry subtile: row SET windowed
-        rl_full = rowl_p[t]
-        for i in range(eb):
-            seg = rl_full[i * 1024:(i + 1) * 1024]
-            rmin, rmax = int(seg[0]), int(seg[-1])
-            if rmax - rmin > _SPAN:
-                raise WCOOPackError(
-                    f"row span {rmax - rmin} in one entry subtile exceeds "
-                    f"the 1024-row u-window (chunk {t}, subtile {i})"
-                )
-            ugb[t, 0, i] = min(rmin & ~127, CR - 1024)
-            # keep the row-sorted copy for the forward pass, then
-            # re-sort this subtile by column (the adjoint's stored order)
-            sl = slice(i * 1024, (i + 1) * 1024)
-            oc = np.argsort(col_p[t, sl], kind="stable")
-            vals_r[t, sl] = vals_p[t, sl]
-            col_r[t, sl] = col_p[t, sl]
-            vals_p[t, sl] = vals_p[t, sl][oc]
-            col_p[t, sl] = col_p[t, sl][oc]
-            rowl_p[t, sl] = rowl_p[t, sl][oc]
-            ep_p[t, i * npad:(i + 1) * npad] = (
-                np.searchsorted(col_p[t, sl], np.arange(npad),
-                                side="right") - 1
+        g = np.minimum(np.cumsum(cnt) - 1, k - 1)   # in [-1, emax)
+        gpe[t] = g
+
+        # ---- u-gather window bases (vectorized over subtiles) ----
+        R2 = rowl_p[t].reshape(eb, 1024)
+        rmin = R2[:, 0].astype(np.int64)     # sorted within chunk
+        rmax = R2[:, -1].astype(np.int64)
+        span = rmax - rmin
+        if span.max() > _SPAN:
+            i = int(span.argmax())
+            raise WCOOPackError(
+                f"row span {int(span[i])} in one entry subtile exceeds "
+                f"the 1024-row u-window (chunk {t}, subtile {i})"
             )
-        # boundary window base per 128-row sublane-row: gpe monotone.
-        # kb 1024-entry windows cover spans up to kb*1024-128 (~7 to ~56
-        # entries/row on average); beyond KB_MAX the pattern is refused.
-        g = gpe[t]
-        for j in range(CR // 128):
-            seg = g[j * 128:(j + 1) * 128]
-            last = int(seg[-1])
-            nonneg = seg[seg >= 0]
-            first = int(nonneg[0]) if nonneg.size else max(last, 0)
-            span = last - first
-            need = max(1, -(-(span + 128) // 1024))
-            if need > _KB_MAX:
-                raise WCOOPackError(
-                    f"entry span {span} under 128 rows exceeds "
-                    f"{_KB_MAX} 1024-entry S-windows (chunk {t}, "
-                    f"rows {j * 128}..)"
-                )
-            kb_req = max(kb_req, need)
-            base = max(0, last - (need * 1024 - 1))
-            base = -(-base // 128) * 128        # round UP (keeps cover)
-            bnb[t, 0, j] = min(base, max(0, emax - 1024))
+        ugb[t, 0, :] = np.minimum(rmin & ~127, CR - 1024).astype(np.int32)
+
+        # ---- within-subtile column sort + row->stored permutation ----
+        C2 = col_p[t].reshape(eb, 1024)
+        V2 = vals_p[t].reshape(eb, 1024)
+        vals_r[t] = vals_p[t]
+        col_r[t] = col_p[t]
+        oc = np.argsort(C2, axis=1, kind="stable")
+        C2s = np.take_along_axis(C2, oc, axis=1)
+        col_p[t] = C2s.reshape(-1)
+        vals_p[t] = np.take_along_axis(V2, oc, axis=1).reshape(-1)
+        rowl_p[t] = np.take_along_axis(R2, oc, axis=1).reshape(-1)
+
+        # ---- per-subtile column boundary tables (one bincount) ----
+        flat = (np.arange(eb)[:, None] * npad + C2s).reshape(-1)
+        hist = np.bincount(flat, minlength=eb * npad).reshape(eb, npad)
+        ep_p[t] = (np.cumsum(hist, axis=1) - 1).reshape(-1)
+
+        # ---- boundary window bases per 128-row sublane-row ----
+        # (gpe monotone; kb 1024-entry windows cover spans up to
+        # kb*1024-128; beyond _KB_MAX the pattern is refused)
+        G2 = g.reshape(CR // 128, 128)
+        last = G2[:, -1]
+        first = np.where(G2 >= 0, G2, np.int64(1) << 60).min(axis=1)
+        first = np.where(first == (np.int64(1) << 60),
+                         np.maximum(last, 0), first)
+        span = last - first
+        need = np.maximum(1, -(-(span + 128) // 1024))
+        if need.max() > _KB_MAX:
+            j = int(need.argmax())
+            raise WCOOPackError(
+                f"entry span {int(span[j])} under 128 rows exceeds "
+                f"{_KB_MAX} 1024-entry S-windows (chunk {t}, "
+                f"rows {j * 128}..)"
+            )
+        kb_req = max(kb_req, int(need.max()))
+        base = np.maximum(0, last - (need * 1024 - 1))
+        base = -(-base // 128) * 128            # round UP (keeps cover)
+        bnb[t, 0, :] = np.minimum(base, max(0, emax - 1024)).astype(np.int32)
 
     return WCOOPacked(
         vals=jnp.asarray(vals_p),
