@@ -151,7 +151,7 @@ def _last_lane(Se):
 
 
 def _wcoo_kernel(
-    EB, XS, UB, KB, forward, adjoint, pair,
+    EB, XS, UB, KB, KU, forward, adjoint, pair,
     # SMEM scalar tables
     ugb_ref, bnb_ref,
     # VMEM inputs
@@ -259,7 +259,18 @@ def _wcoo_kernel(
                 W = y_ref[0, pl.ds(base >> 7, 8), :]
             rli = idx_ref[0, pl.ds(i * 8, 8), :] >> 12
             vi = vals_ref[0, pl.ds(i * 8, 8), :]
-            S_ref[pl.ds(i * 8, 8), :] = vi * _win_gather(W, rli - base)
+            # a subtile's rows span <= KU of the 8 window sublane-rows
+            # (pack-time bound) — loop KU, not 8
+            idx = rli - base
+            sub = idx >> 7
+            lane = idx & 127
+            g = jnp.zeros((8, 128), jnp.float32)
+            for s_w in range(KU):
+                cand = jnp.take_along_axis(
+                    jnp.broadcast_to(W[s_w][None, :], (8, 128)), lane,
+                    axis=1)
+                g = jnp.where(sub == s_w, cand, g)
+            S_ref[pl.ds(i * 8, 8), :] = vi * g
             return 0
 
         jax.lax.fori_loop(0, EB, ug_body, 0)
@@ -311,7 +322,7 @@ def _call(packed, x, y, c1, c2, *, forward, adjoint, pair, interpret):
     sc = sc.at[1, :].set(jnp.asarray(c2, jnp.float32))
     gm = _group_masks(R)
     kernel = functools.partial(_wcoo_kernel, EB, XS, UB, packed.kb,
-                               forward, adjoint, pair)
+                               packed.ku, forward, adjoint, pair)
     u, z = pl.pallas_call(
         kernel,
         grid=(NC,),

@@ -62,6 +62,10 @@ class WCOOPacked:
     #: boundary-gather window count: the S-gather walks kb 1024-entry
     #: windows (kb = ceil(max 128-row entry span / 1024), <= 7)
     kb: int = dataclasses.field(default=1, metadata=dict(static=True))
+    #: u-gather sublane count: each subtile's rows span <= ku of the 8
+    #: window sublane-rows (ku = ceil(max subtile row span / 128) + 0;
+    #: typically 2-3 — the adjoint's gather loops ku times, not 8)
+    ku: int = dataclasses.field(default=8, metadata=dict(static=True))
 
 
 #: window slack reserved for the 128-alignment of window bases
@@ -72,7 +76,7 @@ _KB_MAX = 7
 
 
 def wcoo_pack(m, n, vals, rows, cols, *, force_emax=None,
-              force_kb=None) -> WCOOPacked:
+              force_kb=None, force_ku=None) -> WCOOPacked:
     """Build the WCOO layout from (unsorted) COO triplets.
 
     ``force_emax``/``force_kb`` pin the padded entry capacity and the
@@ -119,6 +123,7 @@ def wcoo_pack(m, n, vals, rows, cols, *, force_emax=None,
     ugb = np.zeros((nc, 1, eb), np.int32)
     bnb = np.zeros((nc, 1, CR // 128), np.int32)
     kb_req = 1
+    ku_req = 1
 
     for t in range(nc):
         st, e = int(cstart[t]), int(cend[t])
@@ -148,7 +153,9 @@ def wcoo_pack(m, n, vals, rows, cols, *, force_emax=None,
                 f"row span {int(span[i])} in one entry subtile exceeds "
                 f"the 1024-row u-window (chunk {t}, subtile {i})"
             )
-        ugb[t, 0, :] = np.minimum(rmin & ~127, CR - 1024).astype(np.int32)
+        base_u = np.minimum(rmin & ~127, CR - 1024)
+        ugb[t, 0, :] = base_u.astype(np.int32)
+        ku_req = max(ku_req, int((-(-(rmax - base_u + 1) // 128)).max()))
 
         # ---- within-subtile column sort + row->stored permutation ----
         C2 = col_p[t].reshape(eb, 1024)
@@ -199,6 +206,7 @@ def wcoo_pack(m, n, vals, rows, cols, *, force_emax=None,
         bnb=jnp.asarray(bnb),
         m=int(m), n=int(n), m_pad=int(m_pad), nc=int(nc), eb=int(eb),
         xs=int(xs), kb=int(min(max(kb_req, force_kb or 1), eb)),
+        ku=int(min(max(ku_req, force_ku or 1), 8)),
     )
 
 

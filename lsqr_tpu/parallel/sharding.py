@@ -1412,7 +1412,7 @@ def _prep_wcoo_shards(A, b, mesh, axis_name):
     starts = np.searchsorted(shard_of, np.arange(ndev))
     ends = np.searchsorted(shard_of, np.arange(ndev), side="right")
 
-    def pack_all(force_emax=None, force_kb=None):
+    def pack_all(force_emax=None, force_kb=None, force_ku=None):
         packs = []
         for s in range(ndev):
             sl = slice(int(starts[s]), int(ends[s]))
@@ -1424,14 +1424,17 @@ def _prep_wcoo_shards(A, b, mesh, axis_name):
                 pv, pr, pc = (vals[sl], rows[sl] - s * rpd, cols[sl])
             packs.append(wcoo_pack(rpd, n, pv, pr, pc,
                                    force_emax=force_emax,
-                                   force_kb=force_kb))
+                                   force_kb=force_kb,
+                                   force_ku=force_ku))
         return packs
 
     packs = pack_all()
     emax = max(p.eb for p in packs) * 1024
     kb = max(p.kb for p in packs)
-    if any(p.eb * 1024 != emax or p.kb != kb for p in packs):
-        packs = pack_all(force_emax=emax, force_kb=kb)
+    ku = max(p.ku for p in packs)
+    if any(p.eb * 1024 != emax or p.kb != kb or p.ku != ku
+           for p in packs):
+        packs = pack_all(force_emax=emax, force_kb=kb, force_ku=ku)
 
     stacked = jax.tree_util.tree_map(lambda *xs: jnp.stack(xs), *packs)
     m_pad_local = packs[0].m_pad
