@@ -142,3 +142,45 @@ def test_wcoo_oracle_consistency(rng):
     y = rng.standard_normal(m).astype(np.float32)
     np.testing.assert_allclose(np.asarray(Ap.rmatvec(y)),
                                np.asarray(Ac.rmatvec(y)), atol=1e-3)
+
+
+def test_wcoo_pack_random_sweep(rng):
+    """Robustness sweep: random shapes/densities/skews either pack and
+    produce correct products (vs scipy) or refuse cleanly — never wrong
+    answers. (New-format safety net; interpret-mode kernels.)"""
+    packed = refused = 0
+    for seed in range(6):
+        r = np.random.default_rng(seed)
+        m = 16384 + int(r.integers(0, 2000))
+        n = int(r.choice([64, 200, 512, 1024, 2048]))
+        density = float(r.uniform(0.3, 8.0))
+        nnz = max(16, int(m * density))
+        if r.random() < 0.5:
+            cols = r.zipf(1.1 + r.random(), size=4 * nnz) - 1
+            cols = cols[cols < n][:nnz]
+            nnz = cols.size
+        else:
+            cols = r.integers(0, n, nnz)
+        rows = r.integers(0, m, nnz)
+        vals = r.standard_normal(nnz).astype(np.float32)
+        try:
+            A = wcoo_operator(m, n, vals, rows, cols, use_pallas=True)
+        except WCOOPackError:
+            refused += 1
+            continue
+        packed += 1
+        S = scipy.sparse.coo_matrix((vals, (rows, cols)),
+                                    shape=(m, n)).tocsr()
+        x = r.standard_normal(n).astype(np.float32)
+        y = r.standard_normal(m).astype(np.float32)
+        ref = S @ x
+        np.testing.assert_allclose(
+            np.asarray(A.matvec(x)), ref,
+            atol=2e-4 * max(1.0, np.abs(ref).max()), err_msg=f"seed {seed}")
+        refz = S.T @ y
+        np.testing.assert_allclose(
+            np.asarray(A.rmatvec(y)), refz,
+            atol=2e-4 * max(1.0, np.abs(refz).max()), err_msg=f"seed {seed}")
+    # refusal coverage lives in test_wcoo_pack_refusals; here every
+    # packed case must have produced correct products
+    assert packed + refused == 6 and packed >= 4, (packed, refused)
