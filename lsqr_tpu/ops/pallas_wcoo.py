@@ -253,22 +253,20 @@ def _wcoo_kernel(
         # ---- 4. windowed u-gather + products in stored order ----
         def ug_body(i, _):
             base = ugb_ref[0, 0, i]                 # SMEM, mult of 128
-            if pair or forward:
-                W = u_ref[0, pl.ds(base >> 7, 8), :]
-            else:
-                W = y_ref[0, pl.ds(base >> 7, 8), :]
+            U = u_ref if (pair or forward) else y_ref
             rli = idx_ref[0, pl.ds(i * 8, 8), :] >> 12
             vi = vals_ref[0, pl.ds(i * 8, 8), :]
-            # a subtile's rows span <= KU of the 8 window sublane-rows
-            # (pack-time bound) — loop KU, not 8
+            # a subtile's rows span <= KU 128-row slices from its base
+            # (pack-time bound; KU > 8 covers thin 2-D column blocks) —
+            # one (1,128) slice + crossbar + select per covered slice
             idx = rli - base
             sub = idx >> 7
             lane = idx & 127
             g = jnp.zeros((8, 128), jnp.float32)
             for s_w in range(KU):
+                row = U[0, pl.ds((base >> 7) + s_w, 1), :]
                 cand = jnp.take_along_axis(
-                    jnp.broadcast_to(W[s_w][None, :], (8, 128)), lane,
-                    axis=1)
+                    jnp.broadcast_to(row, (8, 128)), lane, axis=1)
                 g = jnp.where(sub == s_w, cand, g)
             S_ref[pl.ds(i * 8, 8), :] = vi * g
             return 0

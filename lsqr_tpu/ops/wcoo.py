@@ -62,9 +62,10 @@ class WCOOPacked:
     #: boundary-gather window count: the S-gather walks kb 1024-entry
     #: windows (kb = ceil(max 128-row entry span / 1024), <= 7)
     kb: int = dataclasses.field(default=1, metadata=dict(static=True))
-    #: u-gather sublane count: each subtile's rows span <= ku of the 8
-    #: window sublane-rows (ku = ceil(max subtile row span / 128) + 0;
-    #: typically 2-3 — the adjoint's gather loops ku times, not 8)
+    #: u-gather window rows: each subtile's rows span <= ku 128-row
+    #: sublane rows from its base (ku = ceil((rmax - base + 1)/128),
+    #: typically 2-3; up to _KU_MAX=16 for thin 2-D blocks) — the
+    #: adjoint's gather loops ku per-sublane-row slices
     ku: int = dataclasses.field(default=8, metadata=dict(static=True))
 
 
@@ -73,6 +74,9 @@ _SPAN = 1024 - 128
 #: max boundary windows (the subtile-base T-gather covers kb+1 <= 8
 #: consecutive subtiles with one dynamic slice)
 _KB_MAX = 7
+#: max u-gather window rows per subtile (128 rows each): 16 allows
+#: per-block densities down to ~0.5 entries/row (thin 2-D column blocks)
+_KU_MAX = 16
 
 
 def wcoo_pack(m, n, vals, rows, cols, *, force_emax=None,
@@ -146,16 +150,17 @@ def wcoo_pack(m, n, vals, rows, cols, *, force_emax=None,
         R2 = rowl_p[t].reshape(eb, 1024)
         rmin = R2[:, 0].astype(np.int64)     # sorted within chunk
         rmax = R2[:, -1].astype(np.int64)
-        span = rmax - rmin
-        if span.max() > _SPAN:
-            i = int(span.argmax())
+        base_u = rmin & ~127
+        need_u = (-(-(rmax - base_u + 1) // 128)).astype(np.int64)
+        if need_u.max() > _KU_MAX:
+            i = int(need_u.argmax())
             raise WCOOPackError(
-                f"row span {int(span[i])} in one entry subtile exceeds "
-                f"the 1024-row u-window (chunk {t}, subtile {i})"
+                f"row span {int(rmax[i] - rmin[i])} in one entry subtile "
+                f"exceeds {_KU_MAX} 128-row u-window slices "
+                f"(chunk {t}, subtile {i})"
             )
-        base_u = np.minimum(rmin & ~127, CR - 1024)
         ugb[t, 0, :] = base_u.astype(np.int32)
-        ku_req = max(ku_req, int((-(-(rmax - base_u + 1) // 128)).max()))
+        ku_req = max(ku_req, int(need_u.max()))
 
         # ---- within-subtile column sort + row->stored permutation ----
         C2 = col_p[t].reshape(eb, 1024)
@@ -206,7 +211,7 @@ def wcoo_pack(m, n, vals, rows, cols, *, force_emax=None,
         bnb=jnp.asarray(bnb),
         m=int(m), n=int(n), m_pad=int(m_pad), nc=int(nc), eb=int(eb),
         xs=int(xs), kb=int(min(max(kb_req, force_kb or 1), eb)),
-        ku=int(min(max(ku_req, force_ku or 1), 8)),
+        ku=int(max(ku_req, force_ku or 1)),
     )
 
 

@@ -54,6 +54,7 @@ __all__ = [
     "lsqr_sharded",
     "lsqr_sharded_dia",
     "lsqr_sharded_wcoo",
+    "lsqr_sharded_wcoo_2d",
     "lsmr_sharded_wcoo",
     "craig_sharded_wcoo",
     "cgls_sharded_wcoo",
@@ -1586,3 +1587,215 @@ def cgls_sharded_wcoo(A, b, damp=0.0, *, mesh=None, axis_name="rows",
         A, b, damp, atol, btol, mesh=mesh, axis_name=axis_name,
         itnlim=itnlim, safe_norms=safe_norms,
         default_itnlim=lambda m, n: 4 * n, pair=bool(pair))
+
+
+@jax.tree_util.register_dataclass
+@dataclasses.dataclass(frozen=True)
+class _Local2DWCOOShard(LinearOperator):
+    """2-D block-partition analogue of :class:`_Local2DShard` with the
+    block products running the WCOO scatter-free kernels.
+
+    This is how unstructured patterns with n > 4096 scale: the column
+    axis slices n into per-device blocks that fit WCOO's VMEM-resident
+    x/z constraint (cpd <= 4096), and each block runs the crossbar/MXU
+    kernels instead of COO segment-sum. Same three collectives per
+    iteration as the COO 2-D partition. No fused pair here: the adjoint
+    needs the psum-completed u, so the products stay separate."""
+
+    packed: object
+    axis_m: str = dataclasses.field(metadata=dict(static=True))
+    axis_n: str = dataclasses.field(metadata=dict(static=True))
+    global_m: int = dataclasses.field(metadata=dict(static=True))
+    global_n: int = dataclasses.field(metadata=dict(static=True))
+
+    @property
+    def m(self) -> int:
+        return self.packed.m
+
+    @property
+    def n(self) -> int:
+        return self.packed.n
+
+    @property
+    def dtype(self):
+        return jnp.dtype(jnp.float32)
+
+    @property
+    def axis_name_m(self):
+        return self.axis_m
+
+    @property
+    def axis_name_n(self):
+        return self.axis_n
+
+    def _interp(self) -> bool:
+        return jax.default_backend() != "tpu"
+
+    def matvec(self, x: jax.Array) -> jax.Array:
+        from ..ops.pallas_wcoo import wcoo_forward
+
+        y0 = jnp.zeros((self.packed.m,), jnp.float32)
+        part = wcoo_forward(self.packed, x, 1.0, 0.0, y0,
+                            interpret=self._interp())
+        return jax.lax.psum(part, self.axis_n)
+
+    def rmatvec(self, y: jax.Array) -> jax.Array:
+        from ..ops.pallas_wcoo import wcoo_adjoint
+
+        return jax.lax.psum(
+            wcoo_adjoint(self.packed, y, interpret=self._interp()),
+            self.axis_m,
+        )
+
+
+def _shard_wcoo_2d(A, ndev_r: int, ndev_c: int):
+    """Bucket entries into a (R, C) block grid and WCOO-pack every block
+    with one shared static shape."""
+    from ..ops.wcoo import WCOOOperator, wcoo_pack
+
+    coo = A.coo if isinstance(A, WCOOOperator) else A
+    if not isinstance(coo, COOOperator):
+        raise TypeError("the 2-D WCOO solver expects a WCOOOperator or "
+                        "COOOperator")
+    rows = np.asarray(coo.rows)
+    cols = np.asarray(coo.cols)
+    vals = np.asarray(coo.vals, np.float32)
+    m, n = A.m, A.n
+    m_pad = -(-m // ndev_r) * ndev_r
+    n_pad = -(-n // ndev_c) * ndev_c
+    rpd = m_pad // ndev_r
+    cpd = n_pad // ndev_c
+    if cpd > 4096:
+        raise ValueError(
+            f"per-device column block is {cpd} > 4096 — use more column "
+            f"shards (ndev_c >= {-(-n // 4096)}) for the WCOO 2-D solver"
+        )
+    dev_r = rows // rpd
+    dev_c = cols // cpd
+    bucket = dev_r * ndev_c + dev_c
+    order = np.argsort(bucket, kind="stable")
+    rows, cols, vals, bucket = (rows[order], cols[order], vals[order],
+                                bucket[order])
+    starts = np.searchsorted(bucket, np.arange(ndev_r * ndev_c))
+    ends = np.searchsorted(bucket, np.arange(ndev_r * ndev_c),
+                           side="right")
+
+    def pack_all(force_emax=None, force_kb=None, force_ku=None):
+        packs = []
+        for bidx in range(ndev_r * ndev_c):
+            r, c = divmod(bidx, ndev_c)
+            sl = slice(int(starts[bidx]), int(ends[bidx]))
+            if sl.start == sl.stop:
+                pv = np.zeros(1, np.float32)
+                pr = np.zeros(1, np.int64)
+                pc = np.zeros(1, np.int64)
+            else:
+                pv = vals[sl]
+                pr = rows[sl] - r * rpd
+                pc = cols[sl] - c * cpd
+            packs.append(wcoo_pack(rpd, cpd, pv, pr, pc,
+                                   force_emax=force_emax,
+                                   force_kb=force_kb,
+                                   force_ku=force_ku))
+        return packs
+
+    packs = pack_all()
+    emax = max(p.eb for p in packs) * 1024
+    kb = max(p.kb for p in packs)
+    ku = max(p.ku for p in packs)
+    if any(p.eb * 1024 != emax or p.kb != kb or p.ku != ku
+           for p in packs):
+        packs = pack_all(force_emax=emax, force_kb=kb, force_ku=ku)
+    stacked = jax.tree_util.tree_map(
+        lambda *xs: jnp.stack(xs).reshape((ndev_r, ndev_c)
+                                          + np.shape(xs[0])),
+        *packs)
+    return stacked, m_pad, n_pad, rpd, cpd
+
+
+def lsqr_sharded_wcoo_2d(
+    A,
+    b,
+    damp: float = 0.0,
+    *,
+    mesh: Optional[Mesh] = None,
+    mesh_shape: Optional[tuple] = None,
+    axis_names: tuple = ("rows", "cols"),
+    options: Optional[LSQROptions] = None,
+    **option_overrides,
+) -> LSQRResult:
+    """LSQR over a 2-D (rows x cols) block partition with WCOO block
+    kernels — the scaling path for UNSTRUCTURED patterns whose n exceeds
+    WCOO's single-device 4096-column limit: pick ndev_c >= n/4096 and
+    every device's block lands back in kernel range (~25x the COO block
+    products on TPU). Vector/collective layout identical to
+    :func:`lsqr_sharded_2d`."""
+    opts = options or LSQROptions()
+    if option_overrides:
+        opts = opts.replace(**option_overrides)
+    if mesh is None:
+        if mesh_shape is None:
+            raise ValueError("pass mesh= or mesh_shape=(R, C)")
+        mesh = make_mesh_2d(mesh_shape, axis_names)
+    ax_r, ax_c = axis_names
+    ndev_r = mesh.shape[ax_r]
+    ndev_c = mesh.shape[ax_c]
+    m, n = A.m, A.n
+
+    stacked, m_pad, n_pad, rpd, cpd = _shard_wcoo_2d(A, ndev_r, ndev_c)
+    dtype = jnp.float32
+    b = jnp.asarray(b, dtype)
+    if b.shape != (m,):
+        raise ValueError(f"b must have shape ({m},), got {b.shape}")
+    b_pad = jnp.zeros((m_pad,), dtype).at[:m].set(b)
+
+    itnlim = opts.resolve_itnlim(n)
+    solver_kw = dict(
+        itnlim=itnlim,
+        wantse=opts.wantse,
+        nconv=opts.nconv,
+        record_trace=opts.record_trace,
+        safe_norms=opts.safe_norms,
+        debug_log=opts.debug_log,
+        scalar_dtype=(str(jnp.dtype(opts.scalar_dtype))
+                      if opts.scalar_dtype is not None else None),
+    )
+
+    @partial(
+        jax.shard_map,
+        mesh=mesh,
+        in_specs=(P(ax_r, ax_c), P(ax_r), P(), P(), P(), P()),
+        out_specs=P(),
+        check_vma=False,
+    )
+    def run(packed_l, b_local, damp_, atol_, btol_, conlim_):
+        op = _Local2DWCOOShard(
+            packed=jax.tree_util.tree_map(lambda a: a[0, 0], packed_l),
+            axis_m=ax_r,
+            axis_n=ax_c,
+            global_m=m,
+            global_n=n,
+        )
+        res = _lsqr_impl(
+            op, b_local.reshape(-1), damp_, atol_, btol_, conlim_,
+            **solver_kw
+        )
+        x_full = jax.lax.all_gather(res.x, ax_c, tiled=True)[:n]
+        se_full = (
+            jax.lax.all_gather(res.se, ax_c, tiled=True)[:n]
+            if res.se is not None
+            else None
+        )
+        return res._replace(x=x_full, se=se_full)
+
+    return jax.jit(run)(
+        *_globalize(
+            mesh,
+            stacked,
+            b_pad,
+            jnp.asarray(damp, _rdt(dtype)),
+            jnp.asarray(opts.atol, _rdt(dtype)),
+            jnp.asarray(opts.btol, _rdt(dtype)),
+            jnp.asarray(opts.conlim, _rdt(dtype)),
+        )
+    )
