@@ -8,14 +8,24 @@ Prints ONE JSON line:
   {"metric": ..., "value": N, "unit": "Gnnz/s", "vs_baseline": N}
 
 Matrix: banded (11 diagonals), m = n = 2^23 = 8,388,608 => 92.3M nnz, f32.
-TPU paths measured (fastest first, each banked independently):
+Stages (in child run order; each banked independently the moment it exists):
+  health       chained 128MB elementwise XLA bandwidth (relay-state probe)
+  roofline     in-place Pallas stream-copy ceiling, GB/s (round-5 item 2:
+               makes rounds comparable across relay states and turns the
+               flagship number into a fraction of the machine)
   shared_pair  Pallas fused pair on SHARED stripes (one flat stripe array
-               serves forward+adjoint; measured 97.1 Gnnz/s round 4)
-  pair         Pallas fused pair on packed stripes (90.6 Gnnz/s round 4)
-  separate     Pallas matvec + rmatvec kernels (75.8 Gnnz/s round 4)
+               serves forward+adjoint; 99.29 Gnnz/s round 4)
+  pair         Pallas fused pair on packed stripes (92.1 Gnnz/s round 4)
+  zipf         WCOO general-sparsity fused pair, 10.5M-nnz Zipf(1.1)
+  zdia         complex-banded ZDIA plane-split fused pair (round-5 item 4)
+  separate     Pallas matvec + rmatvec kernels (two stripe passes)
   xla          blocked-XLA fused pair (the compile-helper-free fallback)
   xla_bf16     blocked-XLA with bf16 stripe storage (informational)
-  solve        END-TO-END damped LSQR ms/iteration through the auto path
+  solve        END-TO-END damped LSQR ms/iteration (round-5 item 1: runs
+               AFTER the reliable stages, walks a (variant, m) ladder —
+               pallas@2^23 first, xla and smaller sizes as fallbacks — so
+               one wedged compile can never zero the record again)
+  solve_bf16   bf16-storage solve ms/iter (informational)
 
 Size note (round 4): m = 8,388,608 (2^23, tile-aligned) replaces round 3's
 m = 8,000,000 — the RAGGED-tile Mosaic program at 8e6 is what wedges the
@@ -23,8 +33,8 @@ relay's remote-compile helper (reproduced 2/2 at 8e6; 2^23 compiles in
 6.6 s and 2^22/2^21/2^18 all compile in <5 s). Aligned sizes also match
 how a user would shape a TPU problem.
 
-Robustness (round-3 lesson: BENCH_r03 recorded 0.0 for the flagship Pallas
-kernels after two attempts died compiling the ragged 8M program):
+Robustness (round-3/4 lessons: BENCH_r03 recorded 0.0 for the flagship
+kernels, BENCH_r04 recorded 0.0 for solve + 4 stages behind it):
 - the TPU section runs in a CHILD process; the parent kills the child's
   process group on budget expiry and prints the JSON from whatever stages
   completed (round-2 lesson: the driver's own timeout must never eat the
@@ -32,11 +42,17 @@ kernels after two attempts died compiling the ragged 8M program):
 - the child emits '@begin {stage,m}' BEFORE each compile and '@stage ...'
   after each measurement, so the parent knows exactly which (stage, size)
   wedged and passes it to the next attempt as POISONED;
-- every Pallas stage walks DOWN a size ladder (2^23, 2^22, 2^21, 2^18),
-  skipping poisoned rungs — a wedged compile at one size costs one attempt,
-  not the stage; a number is banked at the largest size that compiles;
-- Pallas stages run BEFORE the informational XLA stages (round-3 verdict:
-  the fallback must never starve the flagship path of budget).
+- every expensive stage walks DOWN a ladder (sizes for the kernels,
+  (variant, size) rungs for the solve), skipping poisoned rungs — a wedged
+  compile at one rung costs one attempt, not the stage;
+- NEW round 5: the child knows its own deadline and HANDS OFF cleanly
+  (exit 0) when the remaining budget cannot fit the next stage's estimated
+  cost — the parent relaunches and the child resumes after the banked
+  stages, so attempt kills (which poison a possibly-fine rung) only happen
+  on genuine wedges;
+- NEW round 5: the child enables the JAX persistent compilation cache
+  (/tmp dir), so a stage that compiled in one attempt costs nothing to
+  re-reach in the next.
 
 Methodology notes (see BENCHMARKS.md):
 - data is generated ON DEVICE (host->device bulk transfer is slow through
@@ -44,7 +60,15 @@ Methodology notes (see BENCHMARKS.md):
 - block_until_ready does not synchronize through the relay — timings chain
   K data-dependent steps and fetch a scalar;
 - Pallas stages time eager chained dispatches of ONE compiled step (async
-  dispatch pipelines them on-device); XLA stages chain inside a fori_loop.
+  dispatch pipelines them on-device); XLA stages chain inside a fori_loop;
+- the roofline stage chains INSIDE one dispatch (fori-of-pallas with
+  input/output aliasing): eager dispatch through the relay costs ~4.3 ms
+  each, which would swamp a 4.7 ms memory pass — measured round 5;
+- complex64 arrays cannot cross the relay's host<->device transfer layer
+  (UNIMPLEMENTED, measured round 5) — the zdia stage keeps all complex
+  values jit-internal and chains on (real, imag) f32 pairs;
+- the CPU baseline is min-of-3 (the round-3/4 denominator halved from
+  host-load noise — VERDICT r4 weak #4; min-of-k pins it).
 """
 
 from __future__ import annotations
@@ -64,26 +88,52 @@ NNZ = NDIAG * M
 # Pallas walk-down ladder: largest first; all rungs compile-verified round 4.
 SIZE_LADDER = (M, 4_194_304, 2_097_152, 262_144)
 
+# solve (variant, m) ladder: the auto Pallas path at full size is the
+# number that matters (2.22 ms/iter measured round 5, ~20 s compile); XLA
+# and smaller sizes are fallbacks so SOME solve number always lands.
+SOLVE_LADDER = (("pallas", M), ("xla", M), ("pallas", 2_097_152),
+                ("xla", 2_097_152))
+
 # Hard wall-clock budgets (round-2 lesson: the driver killed a ~460s run;
 # keep worst case — budget + kill grace + sleeps + startup — under ~6 min).
 TPU_TOTAL_BUDGET_S = int(os.environ.get("LSQR_BENCH_TPU_BUDGET_S", "330"))
 TPU_ATTEMPT_BUDGET_S = int(os.environ.get("LSQR_BENCH_TPU_ATTEMPT_S", "140"))
-TPU_MAX_ATTEMPTS = 3
+TPU_MAX_ATTEMPTS = 4
 
 PALLAS_STAGES = ("shared_pair", "pair", "separate")
-ALL_STAGES = ("health", "shared_pair", "pair", "zipf", "solve", "separate",
-              "xla", "xla_bf16", "solve_bf16")
+ALL_STAGES = ("health", "roofline", "shared_pair", "pair", "zipf", "zdia",
+              "separate", "xla", "xla_bf16", "solve", "solve_bf16")
+
+# Conservative per-stage cost estimates (seconds, cold relay) for the
+# clean-handoff decision: child stops BEFORE a stage it cannot finish.
+STAGE_COST_S = {"health": 10, "roofline": 30, "shared_pair": 25, "pair": 25,
+                "zipf": 45, "zdia": 30, "separate": 30, "xla": 40,
+                "xla_bf16": 40, "solve": 55, "solve_bf16": 40}
 
 # WCOO general-sparsity stage shape: Zipf(1.1) columns, uniform rows
 ZIPF_M = 1 << 21
 ZIPF_N = 2048
 ZIPF_NNZ = 10 * (1 << 20)
 
+# zdia stage shape: complex banded, 5 diagonals at m=2^21 (10.5M complex
+# nnz); mirrors the round-4 in-session measurement (8.11 Gnnz/s).
+ZDIA_M = 1 << 21
+ZDIA_ND = 5
+ZDIA_OFFS = tuple(range(-(ZDIA_ND // 2), ZDIA_ND // 2 + 1))
+
+# roofline stage shape: 1 GB f32, 4 MB blocks (best of the round-5 sweep:
+# 449-457 GB/s in-place vs ~819 GB/s v5e HBM peak paper number)
+ROOF_ROWS, ROOF_COLS = 1024, 1 << 18
+ROOF_BR, ROOF_BC = 16, 1 << 16
+ROOF_K = 20
+
 
 # --------------------------------------------------------------------------
 # TPU child stages. '@begin' marks a compile about to start (the parent
 # treats begun-but-unfinished (stage, m) pairs as poisoned); '@stage' banks
-# a number as soon as it exists, so a later wedge never erases it.
+# a number as soon as it exists, so a later wedge never erases it;
+# '@handoff' means the child stopped CLEANLY for lack of budget (nothing
+# poisoned) and the parent should relaunch.
 # --------------------------------------------------------------------------
 
 def _emit(stage, **kv):
@@ -132,6 +182,46 @@ def relay_health(iters=10):
     float(jnp.sum(chain(x)))
     dt = (time.perf_counter() - t0) / iters
     return 2 * x.size * 4 / dt / 1e9
+
+
+def bench_roofline():
+    """Measured streaming ceiling: an in-place Pallas stream-copy (read +
+    write 1 GB) chained ROOF_K times inside ONE dispatch. input/output
+    aliasing keeps XLA from inserting extra carry copies; fori-of-pallas
+    costs one remote Mosaic compile (~10 s) but removes the ~4.3 ms/dispatch
+    relay latency that caps eager chaining at ~460 GB/s equivalents. The
+    flagship pair's byte model (stripes once + 4 vectors) divided by this
+    number is `pair_pct_roofline` in the JSON. Round-5 measured: 449-457
+    GB/s (~55% of the 819 GB/s v5e paper peak; the rest is the in-place
+    read+write turnaround, not kernel inefficiency)."""
+    import jax
+    import jax.numpy as jnp
+    from jax.experimental import pallas as pl
+
+    def _copy_kernel(x_ref, o_ref):
+        o_ref[...] = x_ref[...] * 1.0000001
+
+    def stream_copy(x):
+        return pl.pallas_call(
+            _copy_kernel,
+            out_shape=jax.ShapeDtypeStruct(x.shape, x.dtype),
+            grid=(ROOF_ROWS // ROOF_BR, ROOF_COLS // ROOF_BC),
+            in_specs=[pl.BlockSpec((ROOF_BR, ROOF_BC), lambda i, j: (i, j))],
+            out_specs=pl.BlockSpec((ROOF_BR, ROOF_BC), lambda i, j: (i, j)),
+            input_output_aliases={0: 0},
+        )(x)
+
+    @jax.jit
+    def chain(x):
+        return jax.lax.fori_loop(0, ROOF_K, lambda i, v: stream_copy(v), x)
+
+    x = jax.random.normal(
+        jax.random.PRNGKey(0), (ROOF_ROWS, ROOF_COLS), jnp.float32)
+    float(jnp.sum(chain(x)))  # compile + warm
+    t0 = time.perf_counter()
+    float(jnp.sum(chain(x)))
+    dt = (time.perf_counter() - t0) / ROOF_K
+    return 2 * ROOF_ROWS * ROOF_COLS * 4 / dt / 1e9
 
 
 def _time_chained(step, v0, iters):
@@ -187,7 +277,7 @@ def bench_shared_pair(m, iters=30):
     """Pallas fused pair on the SHARED-stripe layout (DIASharedOperator):
     one flat padded stripe array serves forward AND adjoint — half the
     operator HBM of the packed layout and the best measured throughput
-    (97.1 vs 90.6 Gnnz/s packed, round 4)."""
+    (99.29 vs 92.1 Gnnz/s packed, round 4)."""
     import jax
     import jax.numpy as jnp
 
@@ -252,6 +342,46 @@ def bench_zipf(iters=30):
                          jnp.ones((ZIPF_N,), jnp.float32), iters)
 
 
+def bench_zdia(iters=30):
+    """Complex-banded fused pair: the plane-split ZDIA Pallas kernel
+    (ops/zdia.py, ops/pallas_spmv.zdia_pair) — all four real stripe-plane
+    products of one complex bidiagonalization step in a single pass.
+    Complex64 cannot cross the relay transfer layer (UNIMPLEMENTED,
+    round 5), so the operator is BUILT inside jit from two real planes and
+    the chain carries (re, im) f32 vectors; every host fetch is real.
+    Throughput counts complex nnz (one complex entry = one stored value
+    pair), matching how BENCHMARKS.md reports the 8.11 Gnnz/s round-4
+    in-session number."""
+    import jax
+    import jax.numpy as jnp
+
+    from lsqr_tpu.ops.zdia import zdia_operator_device
+
+    m = ZDIA_M
+    dr = jax.random.normal(jax.random.PRNGKey(0), (ZDIA_ND, m), jnp.float32)
+    di = jax.random.normal(jax.random.PRNGKey(1), (ZDIA_ND, m), jnp.float32)
+    A = jax.jit(lambda dr, di: zdia_operator_device(
+        m, m, ZDIA_OFFS, jax.lax.complex(dr, di)))(dr, di)
+
+    @jax.jit
+    def step(A, vr, vi):
+        v = jax.lax.complex(vr, vi)
+        y0 = jnp.zeros((m,), jnp.complex64)
+        u, z = A.fused_pair(y=y0, win=v, c1=1.0, c2=0.0)
+        return jnp.real(z) * 1e-9, jnp.imag(z) * 1e-9
+
+    vr = jnp.ones((m,), jnp.float32)
+    vi = jnp.full((m,), 0.5, jnp.float32)
+    r, i = step(A, vr, vi)
+    float(jnp.sum(r))  # compile + warm
+    t0 = time.perf_counter()
+    r, i = vr, vi
+    for _ in range(iters):
+        r, i = step(A, r, i)
+    float(jnp.sum(r))
+    return (time.perf_counter() - t0) / iters
+
+
 def bench_xla(m, iters=30, storage_dtype=None):
     """Blocked-XLA DIA path: never touches the Mosaic compile helper.
     f32 uses the blocked XLA PAIR; bf16 storage uses the separate blocked
@@ -299,7 +429,10 @@ def bench_solve(m, variant, itn=64, storage_dtype=None):
     """End-to-end damped LSQR solve, ms/iteration, through the real user
     path (lsqr() on a DIA operator) — catches solver-loop regressions the
     kernel-pair stages cannot see. variant 'pallas' is the auto TPU route
-    (Pallas pair, while-loop); 'xla' forces the compile-helper-free path."""
+    (Pallas pair, while-loop; compile ~20 s at 2^23, 2.22 ms/iter measured
+    round 5); 'xla' forces the compile-helper-free path (compile ~9 s,
+    8.4 ms/iter). This times the loop the reference runs at
+    lsqr.f90:673-852."""
     import jax.numpy as jnp
 
     import lsqr_tpu as lt
@@ -319,10 +452,16 @@ def bench_solve(m, variant, itn=64, storage_dtype=None):
     return (time.perf_counter() - t0) / int(res.itn)
 
 
-def child_main(poisoned):
-    """Runs on the TPU; parent enforces the wall-clock budget. ``poisoned``
-    is the set of "stage@m" strings a previous attempt began but never
-    finished (wedged compiles) — plus "stage@done" once a stage is banked."""
+def child_main(args):
+    """Runs on the TPU; parent enforces the wall-clock budget. ``args``
+    carries the poison set: "stage@m" strings a previous attempt began but
+    never finished (wedged compiles), plus "stage@done" once a stage is
+    banked. The child also watches its own deadline (budget passed via
+    env) and exits CLEANLY before starting a stage it cannot finish."""
+    deadline = time.monotonic() + float(
+        os.environ.get("LSQR_BENCH_CHILD_BUDGET_S", "1e9"))
+    poisoned = set(args)
+
     if not relay_present(wait_s=30.0):
         _emit("error", error="axon tunnel absent (no listener on 8082+)")
         return 0
@@ -330,7 +469,15 @@ def child_main(poisoned):
     def skip(stage, m="done"):
         return f"{stage}@{m}" in poisoned
 
-    if not skip("health"):
+    def fits(stage):
+        if time.monotonic() + STAGE_COST_S[stage] <= deadline:
+            return True
+        print(f"@handoff {stage}", flush=True)
+        return False
+
+    if not skip("health") and not skip("health", 0):
+        if not fits("health"):
+            return 0
         try:
             _begin("health", 0)
             gbs = relay_health()
@@ -339,11 +486,23 @@ def child_main(poisoned):
             _emit("error", error=f"health: {type(e).__name__}: {e}"[:200])
             return 0
 
+    if not skip("roofline") and not skip("roofline", ROOF_ROWS * ROOF_COLS):
+        if not fits("roofline"):
+            return 0
+        try:
+            _begin("roofline", ROOF_ROWS * ROOF_COLS)
+            gbs = bench_roofline()
+            _emit("roofline", gbs=round(gbs), m=ROOF_ROWS * ROOF_COLS)
+        except Exception as e:
+            _emit("error", error=f"roofline: {type(e).__name__}: {e}"[:200])
+
     pallas_fns = {"shared_pair": bench_shared_pair, "pair": bench_pair,
                   "separate": bench_separate}
     for stage in ("shared_pair", "pair"):
         if skip(stage):
             continue
+        if not fits(stage):
+            return 0
         for m in SIZE_LADDER:
             if skip(stage, m):
                 continue
@@ -357,7 +516,9 @@ def child_main(poisoned):
             break
 
     # General-sparsity WCOO pair (round 4; fixed shape, no ladder).
-    if not skip("zipf"):
+    if not skip("zipf") and not skip("zipf", ZIPF_M):
+        if not fits("zipf"):
+            return 0
         try:
             _begin("zipf", ZIPF_M)
             dt = bench_zipf()
@@ -365,24 +526,21 @@ def child_main(poisoned):
         except Exception as e:
             _emit("error", error=f"zipf: {type(e).__name__}: {e}"[:200])
 
-    # End-to-end solve: auto (Pallas while-loop) first, XLA fallback.
-    if not skip("solve"):
-        for variant in ("pallas", "xla"):
-            if skip("solve", variant):
-                continue
-            try:
-                _begin("solve", variant)
-                dt = bench_solve(M, variant)
-                # m echoes the @begin key (the variant) so the parent's
-                # begun-marker bookkeeping clears on success
-                _emit("solve", ms_iter=round(dt * 1e3, 2), path=variant,
-                      m=variant)
-            except Exception as e:
-                _emit("error", error=f"solve@{variant}: {type(e).__name__}: {e}"[:200])
-                continue
-            break
+    # Complex-banded ZDIA pair (round-5 item 4; fixed shape).
+    if not skip("zdia") and not skip("zdia", ZDIA_M):
+        if not fits("zdia"):
+            return 0
+        try:
+            _begin("zdia", ZDIA_M)
+            dt = bench_zdia()
+            _emit("zdia", gnnz=round(2 * ZDIA_ND * ZDIA_M / dt / 1e9, 2),
+                  m=ZDIA_M)
+        except Exception as e:
+            _emit("error", error=f"zdia: {type(e).__name__}: {e}"[:200])
 
     if not skip("separate"):
+        if not fits("separate"):
+            return 0
         for m in SIZE_LADDER:
             if skip("separate", m):
                 continue
@@ -395,31 +553,77 @@ def child_main(poisoned):
                 continue
             break
 
-    # XLA stages: reliable, informational; run LAST so they can never
-    # starve the flagship Pallas stages (round-3 verdict item 1).
+    # XLA stages: reliable, informational; before the solve ladder so a
+    # solve wedge can never zero them (round-4 verdict item 1).
     if not skip("xla"):
-        try:
-            _begin("xla", M)
-            dt = bench_xla(M)
-            _emit("xla", gnnz=round(2 * NNZ / dt / 1e9, 2), m=M)
-        except Exception as e:
-            _emit("error", error=f"xla: {type(e).__name__}: {e}"[:200])
+        if not fits("xla"):
+            return 0
+        for m in (M, 2_097_152):
+            if skip("xla", m):
+                continue
+            try:
+                _begin("xla", m)
+                dt = bench_xla(m)
+                _emit("xla", gnnz=round(2 * NDIAG * m / dt / 1e9, 2), m=m)
+            except Exception as e:
+                _emit("error", error=f"xla@{m}: {type(e).__name__}: {e}"[:200])
+                continue
+            break
     if not skip("xla_bf16"):
-        try:
-            _begin("xla_bf16", M)
-            dt = bench_xla(M, storage_dtype="bfloat16")
-            _emit("xla_bf16", gnnz=round(2 * NNZ / dt / 1e9, 2), m=M)
-        except Exception as e:
-            _emit("error", error=f"xla_bf16: {type(e).__name__}: {e}"[:200])
+        if not fits("xla_bf16"):
+            return 0
+        for m in (M, 2_097_152):
+            if skip("xla_bf16", m):
+                continue
+            try:
+                _begin("xla_bf16", m)
+                dt = bench_xla(m, storage_dtype="bfloat16")
+                _emit("xla_bf16", gnnz=round(2 * NDIAG * m / dt / 1e9, 2), m=m)
+            except Exception as e:
+                _emit("error",
+                      error=f"xla_bf16@{m}: {type(e).__name__}: {e}"[:200])
+                continue
+            break
+
+    # End-to-end solve: (variant, m) ladder, LAST among the f32 stages so
+    # a wedged compile only ever costs the solve itself (round-5 item 1).
+    if not skip("solve"):
+        for variant, m in SOLVE_LADDER:
+            tag = f"{variant}-{m}"
+            if skip("solve", tag):
+                continue
+            if not fits("solve"):
+                return 0
+            try:
+                _begin("solve", tag)
+                dt = bench_solve(m, variant)
+                # m echoes the @begin key (the rung tag) so the parent's
+                # begun-marker bookkeeping clears on success
+                _emit("solve", ms_iter=round(dt * 1e3, 2), path=variant,
+                      solve_m=m, m=tag)
+            except Exception as e:
+                _emit("error",
+                      error=f"solve@{tag}: {type(e).__name__}: {e}"[:200])
+                continue
+            break
+
     # bf16-STORAGE solve ms/iter (informational: per-iter wins ~1.5x but
     # itn inflates 2.4x+ end-to-end — docs/precision.md round-4 table)
     if not skip("solve_bf16"):
-        try:
-            _begin("solve_bf16", M)
-            dt = bench_solve(M, "xla", storage_dtype="bfloat16")
-            _emit("solve_bf16", ms_iter=round(dt * 1e3, 2), m=M)
-        except Exception as e:
-            _emit("error", error=f"solve_bf16: {type(e).__name__}: {e}"[:200])
+        if not fits("solve_bf16"):
+            return 0
+        for m in (M, 2_097_152):
+            if skip("solve_bf16", m):
+                continue
+            try:
+                _begin("solve_bf16", m)
+                dt = bench_solve(m, "xla", storage_dtype="bfloat16")
+                _emit("solve_bf16", ms_iter=round(dt * 1e3, 2), m=m)
+            except Exception as e:
+                _emit("error",
+                      error=f"solve_bf16@{m}: {type(e).__name__}: {e}"[:200])
+                continue
+            break
     return 0
 
 
@@ -427,9 +631,12 @@ def child_main(poisoned):
 # Parent: CPU baseline + child supervision + the single JSON line.
 # --------------------------------------------------------------------------
 
-def bench_cpu_serial(iters=4):
+def bench_cpu_serial(iters=4, reps=3):
     """scipy CSR products on the host CPU — the serial compiled-code
-    baseline standing in for the Fortran reference's aprod loops."""
+    baseline standing in for the Fortran reference's aprod loops.
+    min-of-``reps`` timing: the raw denominator halved between rounds 3
+    and 4 from host load (VERDICT r4 weak #4); best-of-k is the standard
+    pin against competing load."""
     import numpy as np
     import scipy.sparse
 
@@ -440,19 +647,24 @@ def bench_cpu_serial(iters=4):
     nnz = S.nnz
     x = np.ones(M, np.float32)
     y = S @ x  # warm
-    t0 = time.perf_counter()
-    for _ in range(iters):
-        y = S @ x
-        x = (St @ y) * np.float32(1e-9)
-    dt_pair = (time.perf_counter() - t0) / iters
-    return 2 * nnz / dt_pair / 1e9
+    best = float("inf")
+    for _ in range(reps):
+        t0 = time.perf_counter()
+        for _ in range(iters):
+            y = S @ x
+            x = (St @ y) * np.float32(1e-9)
+        best = min(best, (time.perf_counter() - t0) / iters)
+    return 2 * nnz / best / 1e9
 
 
 def _ingest(out, stages, errors, begun):
+    handoff = False
     for line in out.decode(errors="replace").splitlines():
         if line.startswith("@begin "):
             rec = json.loads(line[len("@begin "):])
             begun.add(f"{rec['stage']}@{rec['m']}")
+        elif line.startswith("@handoff"):
+            handoff = True
         elif line.startswith("@stage "):
             rec = json.loads(line[len("@stage "):])
             if rec["stage"] == "error":
@@ -460,6 +672,7 @@ def _ingest(out, stages, errors, begun):
             else:
                 stages[rec["stage"]] = rec
                 begun.discard(f"{rec['stage']}@{rec.get('m', 0)}")
+    return handoff
 
 
 def _run_attempt(poisoned, budget_s, stages, errors):
@@ -475,6 +688,12 @@ def _run_attempt(poisoned, budget_s, stages, errors):
         env["PALLAS_AXON_POOL_IPS"] = pool
     else:
         env.pop("PALLAS_AXON_POOL_IPS", None)
+    # Persistent compile cache: a stage compiled in attempt k is free in
+    # attempt k+1 (cache errors are warnings, never fatal).
+    env.setdefault("JAX_COMPILATION_CACHE_DIR", "/tmp/lsqr_bench_jax_cache")
+    env.setdefault("JAX_PERSISTENT_CACHE_MIN_COMPILE_TIME_SECS", "2")
+    # Child deadline for the clean handoff (leave margin for startup).
+    env["LSQR_BENCH_CHILD_BUDGET_S"] = str(max(20.0, budget_s - 8.0))
     child = subprocess.Popen(
         [sys.executable, os.path.abspath(__file__), "--tpu-child"]
         + sorted(poisoned),
@@ -487,8 +706,11 @@ def _run_attempt(poisoned, budget_s, stages, errors):
     begun = set()
     try:
         out, _ = child.communicate(timeout=budget_s)
-        _ingest(out, stages, errors, begun)
-        return True, begun
+        handoff = _ingest(out, stages, errors, begun)
+        # clean exit: anything begun-but-unbanked DID wedge (the stage
+        # loop moved on after an in-child failure) — poison it; a handoff
+        # line just means "relaunch me", nothing extra poisoned.
+        return True, begun, handoff
     except subprocess.TimeoutExpired:
         # TERM first (lets the relay session close cleanly), then KILL.
         for sig, grace in ((signal.SIGTERM, 5), (signal.SIGKILL, 5)):
@@ -503,7 +725,7 @@ def _run_attempt(poisoned, budget_s, stages, errors):
                 out = b""
         _ingest(out, stages, errors, begun)
         errors.append(f"attempt exceeded {budget_s}s (killed)")
-        return False, begun
+        return False, begun, False
 
 
 def parent_main():
@@ -544,7 +766,7 @@ def parent_main():
         result = {}
         th = threading.Thread(
             target=lambda: result.update(
-                zip(("ok", "begun"),
+                zip(("ok", "begun", "handoff"),
                     _run_attempt(poisoned | done, budget, stages, errors)))
         )
         th.start()
@@ -553,13 +775,19 @@ def parent_main():
             gnnz_cpu = bench_cpu_serial()
             cpu_done = True
         th.join()
+        n_before = len(done)
         poisoned |= result.get("begun", set())  # wedged (stage, m) rungs
         print(
             f"attempt {attempt + 1}: banked={sorted(stages)} "
-            f"poisoned={sorted(poisoned)} ({time.monotonic() - t0:.0f}s)",
+            f"poisoned={sorted(poisoned)} "
+            f"handoff={bool(result.get('handoff'))} "
+            f"({time.monotonic() - t0:.0f}s)",
             file=sys.stderr,
             flush=True,
         )
+        if (result.get("ok") and not result.get("handoff")
+                and not result.get("begun") and len(stages) == n_before):
+            break  # clean exit, no progress, no handoff request: stop
         if not result.get("ok") and attempt + 1 < TPU_MAX_ATTEMPTS:
             time.sleep(15)  # give the tunnel a moment to drop the dead session
     if not cpu_done:
@@ -585,19 +813,33 @@ def parent_main():
                  if s in stages]
         gnnz_tpu, m_head = max(cands) if cands else (0.0, M)
     metric = f"spmv_pair_throughput_banded_{NDIAG * m_head // 10**6}Mnnz_f32"
+
+    # Roofline fraction of the flagship pair: byte model = stripes read
+    # once (NDIAG*m*4) + v,y read + u,z written (4 vectors * m * 4) per
+    # fused pair; the denominators are both measured THIS round, so the
+    # fraction is comparable across relay states (round-5 item 2).
+    roofline_gbs = stages.get("roofline", {}).get("gbs", 0)
+    pair_pct = 0.0
+    if roofline_gbs and gnnz_tpu:
+        pair_gbs = gnnz_tpu * 1e9 / (2 * NDIAG) * (NDIAG + 4) * 4 / 1e9
+        pair_pct = round(100 * pair_gbs / roofline_gbs, 1)
     record = {
         "metric": metric,
         "value": round(gnnz_tpu, 2),
         "unit": "Gnnz/s",
         "vs_baseline": round(gnnz_tpu / gnnz_cpu, 2) if gnnz_cpu else 0.0,
         "relay_health_gbs": stages.get("health", {}).get("gbs", 0),
+        "roofline_gbs": roofline_gbs,
+        "pair_pct_roofline": pair_pct,
         "shared_pair_gnnz": g("shared_pair"),
         "pair_kernel_gnnz": g("pair"),
         "separate_kernels_gnnz": g("separate"),
         "xla_fallback_gnnz": g("xla"),
         "xla_bf16_storage_gnnz": g("xla_bf16"),
         "zipf_wcoo_pair_gnnz": g("zipf"),
+        "zdia_pair_gnnz": g("zdia"),
         "solve_ms_iter": g("solve", "ms_iter"),
+        "solve_m": stages.get("solve", {}).get("solve_m", 0),
         "solve_bf16_ms_iter": g("solve_bf16", "ms_iter"),
         "solve_path": stages.get("solve", {}).get("path", ""),
         "cpu_baseline_gnnz": round(gnnz_cpu, 2),

@@ -184,14 +184,38 @@ def from_scipy(sp_matrix, *, dtype=None, format: Optional[str] = None) -> Linear
     raise ValueError(f"unknown format {format!r}")
 
 
+def _block_fill_ratio(rows, cols, m, n, bh=128, bw=128):
+    """Stored-values / nnz ratio of the (bh, bw) blocked-ELL packing —
+    the cheap O(nnz) form of native.block_pack's fill check, used to
+    decide blocky-vs-unstructured routing without packing anything."""
+    nnz = len(rows)
+    if nnz == 0:
+        return float("inf")
+    mb = -(-m // bh)
+    stride = max(-(-n // bw), mb)
+    ids = np.unique(rows.astype(np.int64) // bh * stride
+                    + cols.astype(np.int64) // bw)
+    per_row = np.bincount((ids // stride).astype(np.int64), minlength=mb)
+    kb = max(int(per_row.max()) if per_row.size else 0, 1)
+    return float(mb) * kb * bh * bw / nnz
+
+
 def auto_operator(m, n, vals, rows, cols, *, dtype=None,
                   compact=False) -> LinearOperator:
     """Pick a TPU storage format from the sparsity pattern:
 
-    1. few distinct diagonals covering all nnz        -> DIA
-    2. jitter-bounded diagonals (>=95% slot fit)      -> JDIA
-    3. blocky at (128, 128) (fill ratio <= 4x nnz)    -> BlockELL
-    4. otherwise                                      -> ELL
+    1. few distinct diagonals covering all nnz        -> DIA (ZDIA complex)
+    2. jitter-bounded diagonals (>=95% slot fit)      -> JDIA (ZJDIA complex)
+    3. unstructured f32, tall (m >= 16384), n <= 4096,
+       NOT blocky at (128, 128) (fill ratio > 4x)     -> WCOO
+    4. blocky at (128, 128) (fill ratio <= 64x nnz)   -> BlockELL
+    5. otherwise                                      -> HYB (ELL + COO spill)
+
+    WCOO note: its packing stores two copies of the entry stream plus a
+    dense per-subtile adjoint boundary table — worst case ~16 extra bytes
+    per real entry at n=4096 (see :func:`lsqr_tpu.wcoo_operator`), which
+    the blocky gate and the pack-quality checks weigh against the ~25x
+    product-throughput win over COO.
 
     ``compact=True`` selects the shared-stripe DIA form in case 1 (half
     the operator HBM — one padded stripe array serves both products; see
@@ -270,7 +294,12 @@ def auto_operator(m, n, vals, rows, cols, *, dtype=None,
     # to f32 unless x64 is enabled) — same rule coo_operator applies
     eff_dtype = (jnp.dtype(dtype) if dtype is not None
                  else jnp.empty((), vals_np.dtype).dtype)
-    if n <= 4096 and m >= 16384 and eff_dtype == jnp.float32:
+    if n <= 4096 and m >= 16384 and eff_dtype == jnp.float32 \
+            and _block_fill_ratio(rows_np, cols_np, m, n) > 4.0:
+        # The blocky gate keeps block-structured small-n patterns on
+        # BlockELL (streams its stored values at 90+ Gnnz/s; at fill <= 4x
+        # that beats the ~2.5 Gnnz/s WCOO pair on real nnz) instead of
+        # silently landing on WCOO whenever the pack succeeds.
         try:
             return wcoo_operator(m, n, vals_np, rows_np, cols_np,
                                  dtype=dtype)

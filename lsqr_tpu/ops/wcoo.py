@@ -289,6 +289,16 @@ def wcoo_operator(m, n, vals, rows, cols, *, dtype=None,
                   use_pallas=None) -> WCOOOperator:
     """Build a WCOOOperator from COO triplets (real f32, n <= 4096).
 
+    HBM cost: the layout stores TWO copies of the (padded) entry stream
+    (vals+idx col-sorted, vals_r+col_r row-sorted: 16 B/slot) plus a
+    DENSE per-1024-entry-subtile column boundary table ``ep`` of
+    ``eb * ceil(n/128)*128`` int32 per 128-row chunk — i.e. ``4 * n_pad /
+    1024 ~ 16 B`` per entry *slot* at n=4096, independent of how full the
+    subtile is. Total is ~32 B per padded entry at n=4096 (vs 12 B for raw
+    COO), and sparse subtiles pay the full table: the operator footprint
+    can be ~3x COO's. ``auto_operator`` weighs this against the ~25x
+    product-throughput win and only routes here for non-blocky patterns.
+
     Raises :class:`WCOOPackError` for patterns outside WCOO's window
     constraints — ``auto_operator`` catches it and falls back to COO."""
     vals = np.asarray(vals)

@@ -1504,14 +1504,15 @@ def lsqr_sharded_wcoo(
             **solver_kw
         )
 
-    return jax.jit(run)(
+    return jax.jit(run)(*_globalize(
+        mesh,
         stacked,
         b_pad,
         jnp.asarray(damp, _rdt(dtype)),
         jnp.asarray(opts.atol, _rdt(dtype)),
         jnp.asarray(opts.btol, _rdt(dtype)),
         jnp.asarray(opts.conlim, _rdt(dtype)),
-    )
+    ))
 
 
 def _wcoo_sibling_sharded(impl, n_scalars):

@@ -79,6 +79,33 @@ def test_auto_operator_fallback_ell(rng):
     _check_matches(op, S, rng)
 
 
+def test_auto_operator_blocky_gate(rng):
+    # ADVICE r4: a genuinely blocky small-n pattern must keep its BlockELL
+    # route (streams stored values ~4x the WCOO pair rate at fill <= 4x),
+    # while an unstructured pattern in the same (m, n) regime routes WCOO.
+    from lsqr_tpu.ops.interop import _block_fill_ratio
+    from lsqr_tpu.ops.structured import BlockELLOperator
+    from lsqr_tpu.ops.wcoo import WCOOOperator
+
+    m, n, per = 16384, 2048, 4915  # ~30%-dense (128,128) diagonal blocks
+    rows, cols = [], []
+    for bi in range(m // 128):
+        rows.append(bi * 128 + rng.integers(0, 128, per))
+        cols.append((bi % (n // 128)) * 128 + rng.integers(0, 128, per))
+    r2 = np.concatenate(rows)
+    c2 = np.concatenate(cols)
+    assert _block_fill_ratio(r2, c2, m, n) <= 4.0
+    vals = rng.standard_normal(len(r2)).astype(np.float32)
+    assert isinstance(auto_operator(m, n, vals, r2, c2), BlockELLOperator)
+
+    r3 = rng.integers(0, m, 40000)
+    c3 = rng.integers(0, n, 40000)
+    assert _block_fill_ratio(r3, c3, m, n) > 4.0
+    op = auto_operator(
+        m, n, rng.standard_normal(40000).astype(np.float32), r3, c3)
+    assert isinstance(op, WCOOOperator)
+
+
 def test_csr_operator(rng):
     S = scipy.sparse.random(90, 70, density=0.08, random_state=3).tocsr()
     op = csr_operator(90, 70, S.indptr, S.indices, S.data)
