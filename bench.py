@@ -17,6 +17,9 @@ Stages (in child run order; each banked independently the moment it exists):
                serves forward+adjoint; 99.29 Gnnz/s round 4)
   pair         Pallas fused pair on packed stripes (92.1 Gnnz/s round 4)
   zipf         WCOO general-sparsity fused pair, 10.5M-nnz Zipf(1.1)
+  zipf_wide    RWCOO hot/cold routed pair at n=65,536 (round-5 item 3:
+               the wide-n unstructured path; 1.17 Gnnz/s vs the ~0.1
+               COO floor, measured round 5)
   zdia         complex-banded ZDIA plane-split fused pair (round-5 item 4)
   separate     Pallas matvec + rmatvec kernels (two stripe passes)
   xla          blocked-XLA fused pair (the compile-helper-free fallback)
@@ -101,19 +104,23 @@ TPU_ATTEMPT_BUDGET_S = int(os.environ.get("LSQR_BENCH_TPU_ATTEMPT_S", "140"))
 TPU_MAX_ATTEMPTS = 4
 
 PALLAS_STAGES = ("shared_pair", "pair", "separate")
-ALL_STAGES = ("health", "roofline", "shared_pair", "pair", "zipf", "zdia",
-              "separate", "xla", "xla_bf16", "solve", "solve_bf16")
+ALL_STAGES = ("health", "roofline", "shared_pair", "pair", "zipf",
+              "zdia", "separate", "xla", "xla_bf16", "solve",
+              "solve_bf16", "zipf_wide")
 
 # Conservative per-stage cost estimates (seconds, cold relay) for the
 # clean-handoff decision: child stops BEFORE a stage it cannot finish.
 STAGE_COST_S = {"health": 10, "roofline": 30, "shared_pair": 25, "pair": 25,
-                "zipf": 45, "zdia": 30, "separate": 30, "xla": 40,
-                "xla_bf16": 40, "solve": 55, "solve_bf16": 40}
+                "zipf": 45, "zipf_wide": 75, "zdia": 30, "separate": 30,
+                "xla": 40, "xla_bf16": 40, "solve": 55, "solve_bf16": 40}
 
 # WCOO general-sparsity stage shape: Zipf(1.1) columns, uniform rows
 ZIPF_M = 1 << 21
 ZIPF_N = 2048
 ZIPF_NNZ = 10 * (1 << 20)
+
+# RWCOO wide-n stage: same mass, n = 65,536 (the round-5 verdict target)
+ZIPF_WIDE_N = 65536
 
 # zdia stage shape: complex banded, 5 diagonals at m=2^21 (10.5M complex
 # nnz); mirrors the round-4 in-session measurement (8.11 Gnnz/s).
@@ -340,6 +347,36 @@ def bench_zipf(iters=30):
 
     return _time_chained(lambda v: step(A, y0, v),
                          jnp.ones((ZIPF_N,), jnp.float32), iters)
+
+
+def bench_zipf_wide(iters=16):
+    """RWCOO hot/cold routed fused pair at n=65,536 on the same 10.5M-nnz
+    Zipf(1.1) mass (round-5 item 3): the top-4096 columns by count stream
+    through the compacted WCOO kernels (~86% of entries at this skew),
+    the sparse remainder through the WWCOO wide-n kernels. The COO
+    segment-sum floor this replaces is ~0.06-0.15 Gnnz/s."""
+    import numpy as np
+
+    import jax
+    import jax.numpy as jnp
+
+    from lsqr_tpu.ops.rwcoo import rwcoo_operator
+
+    rng = np.random.default_rng(0)
+    cz = rng.zipf(1.1, size=3 * ZIPF_NNZ) - 1
+    cz = cz[cz < ZIPF_WIDE_N][:ZIPF_NNZ].astype(np.int64)
+    rows = np.sort(rng.integers(0, ZIPF_M, ZIPF_NNZ).astype(np.int64))
+    vals = rng.standard_normal(ZIPF_NNZ).astype(np.float32)
+    A = rwcoo_operator(ZIPF_M, ZIPF_WIDE_N, vals, rows, cz)
+    y0 = jnp.zeros((ZIPF_M,), jnp.float32)
+
+    @jax.jit
+    def step(A_, y_, v):
+        u, z = A_.fused_pair(y=y_, win=v, c1=1.0, c2=0.0)
+        return z * 1e-9
+
+    return _time_chained(lambda v: step(A, y0, v),
+                         jnp.ones((ZIPF_WIDE_N,), jnp.float32), iters)
 
 
 def bench_zdia(iters=30):
@@ -624,6 +661,18 @@ def child_main(args):
                       error=f"solve_bf16@{m}: {type(e).__name__}: {e}"[:200])
                 continue
             break
+
+    # Wide-n RWCOO pair (round-5 item 3; fixed shape).
+    if not skip("zipf_wide") and not skip("zipf_wide", ZIPF_WIDE_N):
+        if not fits("zipf_wide"):
+            return 0
+        try:
+            _begin("zipf_wide", ZIPF_WIDE_N)
+            dt = bench_zipf_wide()
+            _emit("zipf_wide", gnnz=round(2 * ZIPF_NNZ / dt / 1e9, 2),
+                  m=ZIPF_WIDE_N)
+        except Exception as e:
+            _emit("error", error=f"zipf_wide: {type(e).__name__}: {e}"[:200])
     return 0
 
 
@@ -837,6 +886,7 @@ def parent_main():
         "xla_fallback_gnnz": g("xla"),
         "xla_bf16_storage_gnnz": g("xla_bf16"),
         "zipf_wcoo_pair_gnnz": g("zipf"),
+        "zipf_wide_rwcoo_pair_gnnz": g("zipf_wide"),
         "zdia_pair_gnnz": g("zdia"),
         "solve_ms_iter": g("solve", "ms_iter"),
         "solve_m": stages.get("solve", {}).get("solve_m", 0),

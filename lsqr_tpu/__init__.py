@@ -73,6 +73,8 @@ from .ops.structured import (
     ell_operator,
 )
 from .ops.wcoo import WCOOOperator, wcoo_operator
+from .ops.wwcoo import WWCOOOperator, wwcoo_operator
+from .ops.rwcoo import RWCOOOperator, rwcoo_operator
 from .ops.zdia import (ZDIAOperator, ZJDIAOperator, zdia_operator,
                        zdia_operator_device, zjdia_operator)
 from .cgls import CGLS_ISTOP_MESSAGES, CGLSResult, cgls
@@ -160,6 +162,10 @@ __all__ = [
     "zdia_operator_device",
     "WCOOOperator",
     "wcoo_operator",
+    "WWCOOOperator",
+    "wwcoo_operator",
+    "RWCOOOperator",
+    "rwcoo_operator",
     "hyb_operator",
     "ell_operator",
     "block_ell_operator",

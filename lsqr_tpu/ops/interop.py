@@ -206,8 +206,10 @@ def auto_operator(m, n, vals, rows, cols, *, dtype=None,
 
     1. few distinct diagonals covering all nnz        -> DIA (ZDIA complex)
     2. jitter-bounded diagonals (>=95% slot fit)      -> JDIA (ZJDIA complex)
-    3. unstructured f32, tall (m >= 16384), n <= 4096,
-       NOT blocky at (128, 128) (fill ratio > 4x)     -> WCOO
+    3. unstructured f32, tall (m >= 16384), not blocky
+       at (128, 128) (fill ratio > 4x):
+       n <= 4096                                      -> WCOO
+       4096 < n <= 262,144, column-concentrated       -> RWCOO (hot/cold)
     4. blocky at (128, 128) (fill ratio <= 64x nnz)   -> BlockELL
     5. otherwise                                      -> HYB (ELL + COO spill)
 
@@ -294,6 +296,26 @@ def auto_operator(m, n, vals, rows, cols, *, dtype=None,
     # to f32 unless x64 is enabled) — same rule coo_operator applies
     eff_dtype = (jnp.dtype(dtype) if dtype is not None
                  else jnp.empty((), vals_np.dtype).dtype)
+
+    # RWCOO: unstructured f32 with WIDE n (4096 < n <= 262,144) — hot/cold
+    # column routing (round 5): the top-4096 columns by count stream
+    # through the compacted WCOO kernels, the sparse remainder through the
+    # WWCOO wide-n kernels (1.17 Gnnz/s pair at the n=65,536 Zipf(1.1)
+    # benchmark vs the ~0.1 Gnnz/s COO floor). Patterns without column
+    # concentration (near-uniform wide) exceed the cold work-list caps and
+    # fall through to the blocky/HYB routes below.
+    if 4096 < n <= 262_144 and m >= 16384 and eff_dtype == jnp.float32 \
+            and _block_fill_ratio(rows_np, cols_np, m, n) > 4.0:
+        from .rwcoo import rwcoo_operator
+        from .wcoo import WCOOPackError
+        from .wwcoo import WWCOOPackError
+
+        try:
+            return rwcoo_operator(m, n, vals_np, rows_np, cols_np,
+                                  dtype=dtype)
+        except (WCOOPackError, WWCOOPackError):
+            pass
+
     if n <= 4096 and m >= 16384 and eff_dtype == jnp.float32 \
             and _block_fill_ratio(rows_np, cols_np, m, n) > 4.0:
         # The blocky gate keeps block-structured small-n patterns on
