@@ -676,6 +676,217 @@ def _prep_dia_shards(A, b, mesh, axis_name, dtype=None):
     return data_s, row0s, b_pad, rpd, m_pad, dtype
 
 
+@jax.tree_util.register_dataclass
+@dataclasses.dataclass(frozen=True)
+class _LocalZDIAShard(LinearOperator):
+    """Per-device view of a row-partitioned complex-banded (ZDIA) matrix
+    inside shard_map: the plane-split analogue of :class:`_LocalDIAShard`.
+
+    The shard holds ROW slices of the two real stripe planes
+    (``dr + 1j*di``); x stays replicated, so the local complex matvec is
+    four real shifted-window products over the same slices and the
+    adjoint's conjugation is a SIGN in the plane combination — exactly
+    the scatter- and conj-copy-free scheme of ops/zdia.py, row-sharded.
+    Communication per iteration is the DIA path's: one (complex) psum
+    for the transpose product, one scalar psum for the u-norm.
+    Reference anchor: the aprod mode-2 reduction, lsqr.f90:188-192.
+    """
+
+    dr: jax.Array       # (ndiag, m_local) local row slice, real plane
+    di: jax.Array       # (ndiag, m_local) local row slice, imag plane
+    row0: jax.Array     # global row offset of this shard (scalar int32)
+    m: int = dataclasses.field(metadata=dict(static=True))   # local rows
+    n: int = dataclasses.field(metadata=dict(static=True))
+    offsets: tuple = dataclasses.field(metadata=dict(static=True))
+    axis: str = dataclasses.field(metadata=dict(static=True))
+    global_m: int = dataclasses.field(metadata=dict(static=True))
+    global_m_pad: int = dataclasses.field(metadata=dict(static=True))
+
+    #: solver hook: the pair path may run for complex vectors (the local
+    #: pair is the plane-split stripe pass; see solver._build)
+    supports_complex_pair = True
+
+    @property
+    def dtype(self):
+        return jnp.dtype(
+            jnp.complex64 if self.dr.dtype == jnp.float32 else jnp.complex128
+        )
+
+    @property
+    def axis_name_m(self):
+        return self.axis
+
+    def matvec(self, x: jax.Array) -> jax.Array:
+        # local row i (global row0 + i) reads x[row0 + i + k]; four real
+        # plane/segment products per diagonal (window math as in
+        # _LocalDIAShard.matvec)
+        m, n = self.m, self.n
+        ks = self.offsets or (0,)
+        lo = max(0, -min(ks))
+        hi = max(0, self.global_m_pad + max(ks) - n)
+        rdt = self.dr.dtype
+        xr = jnp.real(x).astype(rdt)
+        xi = jnp.imag(x).astype(rdt)
+        xpr = jnp.zeros((lo + n + hi,), rdt).at[lo : lo + n].set(xr)
+        xpi = jnp.zeros((lo + n + hi,), rdt).at[lo : lo + n].set(xi)
+        yr = jnp.zeros((m,), rdt)
+        yi = jnp.zeros((m,), rdt)
+        for j, k in enumerate(self.offsets):
+            sr = jax.lax.dynamic_slice(xpr, (self.row0 + lo + k,), (m,))
+            si = jax.lax.dynamic_slice(xpi, (self.row0 + lo + k,), (m,))
+            yr = yr + self.dr[j] * sr - self.di[j] * si
+            yi = yi + self.dr[j] * si + self.di[j] * sr
+        return jax.lax.complex(yr, yi)
+
+    def _adjoint_local(self, y: jax.Array) -> jax.Array:
+        """This shard's additive contribution to A^H y (length n,
+        un-summed): z[row0 + i + k] += conj(a[d, i]) * y[i], i.e. the
+        imag plane enters with a flipped sign — applied per plane with
+        the same pad-adds + one dynamic placement as _LocalDIAShard."""
+        m, n = self.m, self.n
+        ks = self.offsets or (0,)
+        lo = max(0, -min(ks))
+        hi = max(0, max(ks))
+        rdt = self.dr.dtype
+        yr = jnp.real(y).astype(rdt)
+        yi = jnp.imag(y).astype(rdt)
+        zlr = jnp.zeros((lo + m + hi,), rdt)
+        zli = jnp.zeros((lo + m + hi,), rdt)
+        for j, k in enumerate(self.offsets):
+            pad = [(lo + k, hi - k, 0)]
+            zlr = zlr + jax.lax.pad(
+                self.dr[j] * yr + self.di[j] * yi, jnp.zeros((), rdt), pad)
+            zli = zli + jax.lax.pad(
+                self.dr[j] * yi - self.di[j] * yr, jnp.zeros((), rdt), pad)
+        L = max(lo + self.global_m_pad + hi, lo + n)
+        zbr = jax.lax.dynamic_update_slice(
+            jnp.zeros((L,), rdt), zlr, (self.row0,))
+        zbi = jax.lax.dynamic_update_slice(
+            jnp.zeros((L,), rdt), zli, (self.row0,))
+        return jax.lax.complex(
+            jax.lax.slice(zbr, (lo,), (lo + n,)),
+            jax.lax.slice(zbi, (lo,), (lo + n,)),
+        )
+
+    def rmatvec(self, y: jax.Array) -> jax.Array:
+        return jax.lax.psum(self._adjoint_local(y), self.axis)
+
+    def fused_pair(self, *, y, win, c1, c2):
+        """Both bidiagonalization products in one local plane pass + one
+        psum (c1, c2 REAL — the bidiagonalization scalars stay real over
+        C, see solver._build)."""
+        u = self.matvec(win * c1) - c2 * y
+        return u, jax.lax.psum(self._adjoint_local(u), self.axis)
+
+
+def _prep_zdia_shards(A, b, mesh, axis_name):
+    """Per-device plane slices + padded complex b for a row-partitioned
+    ZDIA operator (the plumbing of lsqr_sharded_zdia)."""
+    from ..ops.zdia import ZDIAOperator
+
+    if not isinstance(A, ZDIAOperator):
+        raise TypeError("lsqr_sharded_zdia expects a ZDIAOperator")
+    ndev = mesh.shape[axis_name]
+    m, n = A.m, A.n
+    m_pad = -(-m // ndev) * ndev
+    rpd = m_pad // ndev
+    nd = len(A.offsets)
+    rdt = A.dr.dtype
+
+    def shard_plane(plane):
+        p = jnp.zeros((nd, m_pad), rdt).at[:, :m].set(plane)
+        return p.reshape(nd, ndev, rpd).swapaxes(0, 1)
+
+    dr_s = shard_plane(A.dr)
+    di_s = shard_plane(A.di)
+    row0s = jnp.arange(ndev, dtype=jnp.int32) * rpd
+    cdt = jnp.complex64 if rdt == jnp.float32 else jnp.complex128
+    b = jnp.asarray(b, cdt)
+    if b.shape != (m,):
+        raise ValueError(f"b must have shape ({m},), got {b.shape}")
+    b_pad = jnp.zeros((m_pad,), cdt).at[:m].set(b)
+    return dr_s, di_s, row0s, b_pad, rpd, m_pad, rdt
+
+
+def lsqr_sharded_zdia(
+    A,
+    b,
+    damp: float = 0.0,
+    *,
+    mesh: Optional[Mesh] = None,
+    axis_name: str = "rows",
+    options: Optional[LSQROptions] = None,
+    **option_overrides,
+):
+    """Row-partitioned distributed solve for a COMPLEX banded (ZDIA)
+    operator: the plane-split sharded counterpart of
+    :func:`lsqr_sharded_dia` (round-5 item: the one single-chip fast
+    path that had no sharded sibling). Each device owns a contiguous row
+    block of the two real stripe planes; x/v/w stay replicated, the
+    adjoint's conjugation is a sign in the plane combination, and the
+    transpose product reduces with one complex psum per iteration.
+    ``options.pair`` streams both products from one local plane pass."""
+    opts = options or LSQROptions()
+    if option_overrides:
+        opts = opts.replace(**option_overrides)
+    mesh = mesh if mesh is not None else make_mesh(axis_name=axis_name)
+    m, n = A.m, A.n
+    dr_s, di_s, row0s, b_pad, rpd, m_pad, rdt = _prep_zdia_shards(
+        A, b, mesh, axis_name)
+
+    itnlim = opts.resolve_itnlim(n)
+    solver_kw = dict(
+        itnlim=itnlim,
+        wantse=opts.wantse,
+        nconv=opts.nconv,
+        record_trace=opts.record_trace,
+        safe_norms=opts.safe_norms,
+        debug_log=opts.debug_log,
+        scalar_dtype=(str(jnp.dtype(opts.scalar_dtype))
+                      if opts.scalar_dtype is not None else None),
+        fused=bool(opts.pair),
+        pair=bool(opts.pair),
+    )
+    offsets = A.offsets
+
+    @partial(
+        jax.shard_map,
+        mesh=mesh,
+        in_specs=(P(axis_name), P(axis_name), P(axis_name), P(axis_name),
+                  P(), P(), P(), P()),
+        out_specs=P(),
+        check_vma=False,
+    )
+    def run(dr_l, di_l, row0_l, b_local, damp_, atol_, btol_, conlim_):
+        op = _LocalZDIAShard(
+            dr=dr_l[0],
+            di=di_l[0],
+            row0=row0_l[0],
+            m=rpd,
+            n=n,
+            offsets=offsets,
+            axis=axis_name,
+            global_m=m,
+            global_m_pad=m_pad,
+        )
+        return _lsqr_impl(
+            op, b_local.reshape(-1), damp_, atol_, btol_, conlim_,
+            **solver_kw
+        )
+
+    return jax.jit(run)(*_globalize(
+        mesh,
+        dr_s,
+        di_s,
+        row0s,
+        b_pad,
+        jnp.asarray(damp, rdt),
+        jnp.asarray(opts.atol, rdt),
+        jnp.asarray(opts.btol, rdt),
+        jnp.asarray(opts.conlim, rdt),
+    ))
+
+
 def _dia_sibling_sharded(impl, n_scalars):
     """Factory for the sibling solvers over the banded row partition."""
 

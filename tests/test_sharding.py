@@ -532,3 +532,68 @@ def test_wcoo_sharded_siblings_match_unsharded():
     ref = lt.craig(Ac, b, atol=1e-7, btol=1e-7)
     assert int(r.istop) == int(ref.istop)
     np.testing.assert_allclose(np.asarray(r.x), np.asarray(ref.x), atol=5e-3)
+
+
+def _zdia_problem(rng, m, n, offsets):
+    from lsqr_tpu.ops.zdia import zdia_operator
+
+    data = (rng.standard_normal((len(offsets), m))
+            + 1j * rng.standard_normal((len(offsets), m)))
+    A = zdia_operator(m, n, offsets, data)      # complex128 under x64
+    b = rng.standard_normal(m) + 1j * rng.standard_normal(m)
+    return A, b
+
+
+def test_sharded_zdia_matches_unsharded(rng):
+    """Plane-split complex banded row shards (round-5 item 5): the
+    sharded solve must match its unsharded ZDIA oracle at matched itn."""
+    from lsqr_tpu.parallel.sharding import lsqr_sharded_zdia
+
+    m = n = 260  # ragged (260 % 8 = 4): exercises row padding
+    A, b = _zdia_problem(rng, m, n, (-4, -1, 0, 2, 5))
+    ref = lt.lsqr(A, b, 0.05, atol=1e-10, btol=1e-10, itnlim=400)
+    res = lsqr_sharded_zdia(A, b, 0.05, mesh=make_mesh(8),
+                            atol=1e-10, btol=1e-10, itnlim=400)
+    assert int(res.istop) == int(ref.istop)
+    assert abs(int(res.itn) - int(ref.itn)) <= 3
+    # reduction-order rounding accumulated over ~400 complex iterations
+    # (observed max ~3e-5); the rectangular fixed-itn test below is the
+    # tight (1e-7) correctness check at matched trajectories
+    np.testing.assert_allclose(np.asarray(res.x), np.asarray(ref.x),
+                               atol=1e-4)
+
+
+@pytest.mark.parametrize("m,n", [(202, 150), (150, 202)])
+def test_sharded_zdia_rectangular_fixed_itn(rng, m, n):
+    """Rectangular complex banded shards at matched iteration counts:
+    zero tolerances + fixed itnlim leave no hiding room for window or
+    conjugation bugs in the plane-split adjoint."""
+    from lsqr_tpu.parallel.sharding import lsqr_sharded_zdia
+
+    A, b = _zdia_problem(rng, m, n, (-7, -1, 0, 1, 6))
+    ref = lt.lsqr(A, b, 0.05, atol=0.0, btol=0.0, conlim=0.0, itnlim=25)
+    res = lsqr_sharded_zdia(A, b, 0.05, mesh=make_mesh(8),
+                            atol=0.0, btol=0.0, conlim=0.0, itnlim=25)
+    assert int(res.itn) == int(ref.itn)
+    np.testing.assert_allclose(np.asarray(res.x), np.asarray(ref.x),
+                               rtol=1e-7, atol=1e-10)
+    np.testing.assert_allclose(float(res.rnorm), float(ref.rnorm),
+                               rtol=1e-11)
+
+
+def test_sharded_zdia_pair_matches(rng):
+    """pair=True streams both complex products from one local plane pass
+    + one psum (the sharded zdia_pair analogue); matched-itn check."""
+    from lsqr_tpu.parallel.sharding import lsqr_sharded_zdia
+
+    m, n = 260, 210
+    A, b = _zdia_problem(rng, m, n, (-4, -1, 0, 2, 5))
+    ref = lt.lsqr(A, b, 0.05, atol=0.0, btol=0.0, conlim=0.0, itnlim=25)
+    res = lsqr_sharded_zdia(A, b, 0.05, mesh=make_mesh(8),
+                            atol=0.0, btol=0.0, conlim=0.0, itnlim=25,
+                            pair=True)
+    assert int(res.itn) == int(ref.itn)
+    np.testing.assert_allclose(np.asarray(res.x), np.asarray(ref.x),
+                               rtol=1e-6, atol=1e-9)
+    np.testing.assert_allclose(float(res.rnorm), float(ref.rnorm),
+                               rtol=1e-9)
