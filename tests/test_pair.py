@@ -288,6 +288,7 @@ def test_block_ell_pair_solve(rng):
     assert float(jnp.max(jnp.abs(res.x - ref.x))) / scale < 1e-3
 
 
+@pytest.mark.slow
 def test_dia_pair_geometry_fuzz(rng):
     """Randomized geometry sweep for the pair kernel's overlap-add: random
     shapes (incl. m < tile), offset sets (one-sided, wide, sparse) and

@@ -474,6 +474,7 @@ def test_traced_2d_solve_gathers_only_at_finalize(rng, monkeypatch):
     )
 
 
+@pytest.mark.slow
 def test_wcoo_sharded_matches_unsharded():
     """Row-partitioned WCOO shards (scatter-free crossbar/MXU kernels per
     device, round 4) against the unsharded COO oracle at matched itn."""
@@ -499,6 +500,7 @@ def test_wcoo_sharded_matches_unsharded():
                                atol=5e-4)
 
 
+@pytest.mark.slow
 def test_wcoo_sharded_siblings_match_unsharded():
     """LSMR/CRAIG/CGLS on WCOO row shards vs their unsharded solvers."""
     import scipy.sparse

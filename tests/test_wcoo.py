@@ -30,6 +30,7 @@ def _random_coo(rng, m, n, nnz, zipf=None):
 
 
 @pytest.mark.parametrize("m,n,nnz", [(20000, 300, 60000), (16384, 1024, 50000)])
+@pytest.mark.slow
 def test_wcoo_products_vs_scipy(rng, m, n, nnz):
     vals, rows, cols = _random_coo(rng, m, n, nnz)
     A = wcoo_operator(m, n, vals, rows, cols, use_pallas=True)
@@ -42,6 +43,7 @@ def test_wcoo_products_vs_scipy(rng, m, n, nnz):
     np.testing.assert_allclose(z, S.T @ y, atol=2e-4 * np.abs(S.T @ y).max())
 
 
+@pytest.mark.slow
 def test_wcoo_fused_pair(rng):
     m, n, nnz = 20000, 512, 80000
     vals, rows, cols = _random_coo(rng, m, n, nnz, zipf=1.1)
@@ -58,6 +60,7 @@ def test_wcoo_fused_pair(rng):
                                atol=2e-4 * np.abs(zref).max())
 
 
+@pytest.mark.slow
 def test_wcoo_empty_rows_and_heavy_cols(rng):
     # rows 0..99 dense-ish, an empty band (within the 1024-row window
     # tolerance), then a sparse tail; one column receiving ~half the
@@ -113,6 +116,7 @@ def test_wcoo_auto_routing(rng):
     assert not isinstance(C, WCOOOperator)
 
 
+@pytest.mark.slow
 def test_wcoo_lsqr_solve(rng):
     # end-to-end: WCOO operator through the full solver with the fused
     # pair path forced (interpret mode on CPU)
@@ -130,6 +134,7 @@ def test_wcoo_lsqr_solve(rng):
     np.testing.assert_allclose(np.asarray(res.x), ref[0], atol=5e-3)
 
 
+@pytest.mark.slow
 def test_wcoo_oracle_consistency(rng):
     # Pallas (interpret) vs the internal COO fallback on the same operator
     m, n, nnz = 16384, 640, 50000
@@ -144,6 +149,7 @@ def test_wcoo_oracle_consistency(rng):
                                np.asarray(Ac.rmatvec(y)), atol=1e-3)
 
 
+@pytest.mark.slow
 def test_wcoo_pack_random_sweep(rng):
     """Robustness sweep: random shapes/densities/skews either pack and
     produce correct products (vs scipy) or refuse cleanly — never wrong

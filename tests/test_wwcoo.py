@@ -32,6 +32,7 @@ def _random_coo(rng, m, n, nnz, zipf=None):
     return vals, rows, cols
 
 
+@pytest.mark.slow
 def test_wwcoo_products_vs_scipy(rng):
     # uniform wide pattern: per-chunk compaction sees D ~ 16k distinct
     m, n, nnz = 20000, 20000, 60000
@@ -46,6 +47,7 @@ def test_wwcoo_products_vs_scipy(rng):
     np.testing.assert_allclose(z, S.T @ y, atol=2e-4 * np.abs(S.T @ y).max())
 
 
+@pytest.mark.slow
 def test_wwcoo_fused_pair_and_edges(rng):
     # zipf columns; m NOT a chunk multiple, n NOT a 1024 multiple, and
     # duplicate entries (COO semantics: summed)
@@ -75,6 +77,7 @@ def test_wwcoo_pack_refusals():
         wwcoo_operator(100, 8192, np.ones(2, np.complex64), [0, 1], [0, 1])
 
 
+@pytest.mark.slow
 def test_rwcoo_products_and_pair(rng):
     # hot/cold routing on a wide zipf pattern: top-4096 columns stream
     # through the compacted WCOO panel, the rest through WWCOO
@@ -115,6 +118,7 @@ def test_rwcoo_auto_routing(rng):
     assert not isinstance(C, (RWCOOOperator, WWCOOOperator))
 
 
+@pytest.mark.slow
 def test_rwcoo_lsqr_solve(rng):
     # end-to-end: RWCOO through the full solver with the fused pair path
     # (interpret mode on CPU), cross-checked against scipy at matched
@@ -144,6 +148,7 @@ def test_rwcoo_lsqr_solve(rng):
     assert phi(np.asarray(res.x, np.float64)) <= phi(ref[0]) * 1.001
 
 
+@pytest.mark.slow
 def test_wwcoo_oracle_consistency(rng):
     # Pallas (interpret) vs the internal COO fallback on the same operator
     m, n, nnz = 16384, 9000, 50000

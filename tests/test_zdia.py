@@ -92,6 +92,7 @@ def test_zdia_pair_xla_matches_products(rng):
         (1024, 1024, (0,), 1024),                # single tile
     ],
 )
+@pytest.mark.slow
 def test_zdia_pair_kernel_interpret(rng, m, n, offsets, tm):
     data, A = _dense_from_offsets(rng, m, n, offsets, np.complex64)
     op = zdia_operator(m, n, offsets, data)
