@@ -1726,6 +1726,243 @@ def lsqr_sharded_wcoo(
     ))
 
 
+@jax.tree_util.register_dataclass
+@dataclasses.dataclass(frozen=True)
+class _LocalRWCOOShard(LinearOperator):
+    """Per-device view of a row-partitioned RWCOO (wide-n hot/cold
+    routed) matrix inside shard_map — the sharded counterpart of
+    :class:`lsqr_tpu.ops.rwcoo.RWCOOOperator` (round 5: after ZDIA, the
+    last single-chip fast path without a sharded sibling).
+
+    The HOT column set is chosen GLOBALLY (every shard shares one
+    hotmap, so the compacted hot panels agree); each device packs its
+    contiguous row block as its own hot-WCOO + cold-WWCOO pair with
+    shared static shapes. x/v/w stay replicated (n <= 262,144: <= 1 MB),
+    the local product pipeline is the RWCOO one (hot fwd -> cold pair ->
+    hot adjoint), and the transpose product reduces with one psum per
+    iteration — identical communication to the COO/DIA/WCOO rows."""
+
+    hot: object        # WCOOPacked (local rows, compacted hot columns)
+    cold: object       # WWCOOPacked (local rows, absolute columns)
+    hotmap: jax.Array  # (K,) int32 absolute column of hot col j
+    axis: str = dataclasses.field(metadata=dict(static=True))
+    global_m: int = dataclasses.field(metadata=dict(static=True))
+    _n: int = dataclasses.field(default=0, metadata=dict(static=True))
+
+    @property
+    def m(self) -> int:
+        return self.hot.m
+
+    @property
+    def n(self) -> int:
+        return self._n
+
+    @property
+    def dtype(self):
+        return jnp.dtype(jnp.float32)
+
+    @property
+    def axis_name_m(self):
+        return self.axis
+
+    @property
+    def prefers_pair(self) -> bool:
+        return True
+
+    def _interp(self) -> bool:
+        return jax.default_backend() != "tpu"
+
+    def matvec(self, x: jax.Array) -> jax.Array:
+        from ..ops.pallas_wcoo import wcoo_forward
+        from ..ops.pallas_wwcoo import wwcoo_forward
+
+        it = self._interp()
+        wh = jnp.take(x.astype(jnp.float32), self.hotmap)
+        y0 = jnp.zeros((self.m,), jnp.float32)
+        u = wcoo_forward(self.hot, wh, 1.0, 0.0, y0, interpret=it)
+        return wwcoo_forward(self.cold, x, 1.0, -1.0, u, interpret=it)
+
+    def _adjoint_local(self, y: jax.Array) -> jax.Array:
+        from ..ops.pallas_wcoo import wcoo_adjoint
+        from ..ops.pallas_wwcoo import wwcoo_adjoint
+
+        it = self._interp()
+        zh = wcoo_adjoint(self.hot, y, interpret=it)
+        z = wwcoo_adjoint(self.cold, y, interpret=it)
+        return z.at[self.hotmap].add(zh[: self.hotmap.shape[0]])
+
+    def rmatvec(self, y: jax.Array) -> jax.Array:
+        return jax.lax.psum(self._adjoint_local(y), self.axis)
+
+    def fused_pair(self, *, y, win, c1, c2):
+        from ..ops.pallas_wcoo import wcoo_adjoint, wcoo_forward
+        from ..ops.pallas_wwcoo import wwcoo_pair
+
+        it = self._interp()
+        wh = jnp.take(win.astype(jnp.float32), self.hotmap)
+        u1 = wcoo_forward(self.hot, wh, c1, c2, y, interpret=it)
+        u, z = wwcoo_pair(self.cold, u1, win, c1, -1.0, interpret=it)
+        zh = wcoo_adjoint(self.hot, u, interpret=it)
+        z = z.at[self.hotmap].add(zh[: self.hotmap.shape[0]])
+        return u, jax.lax.psum(z, self.axis)
+
+
+def _prep_rwcoo_shards(A, b, mesh, axis_name):
+    """Host-side row partition + per-shard hot/cold packing with shared
+    static shapes. ``A``: an RWCOOOperator (its global hotmap and COO
+    triplets are reused) or a COOOperator with 4096 < n <= 262,144."""
+    from ..ops.rwcoo import RWCOOOperator
+    from ..ops.wcoo import wcoo_pack
+    from ..ops.wwcoo import wwcoo_pack
+
+    if isinstance(A, RWCOOOperator):
+        coo = A.coo
+        hotcols = np.asarray(A.hotmap, np.int64)
+    elif isinstance(A, COOOperator):
+        coo = A
+        counts = np.bincount(np.asarray(coo.cols), minlength=A.n)
+        k_hot = min(4096, int((counts > 0).sum()))
+        hotcols = np.sort(np.argpartition(counts, -k_hot)[-k_hot:])
+    else:
+        raise TypeError("lsqr_sharded_rwcoo expects an RWCOOOperator or "
+                        "COOOperator")
+    ndev = mesh.shape[axis_name]
+    m, n = A.m, A.n
+    k_hot = len(hotcols)
+    hpos = np.full(n, -1, np.int64)
+    hpos[hotcols] = np.arange(k_hot)
+    rpd = -(-m // ndev)
+    vals = np.asarray(coo.vals, np.float32)
+    rows = np.asarray(coo.rows, np.int64)
+    cols = np.asarray(coo.cols, np.int64)
+    shard_of = rows // rpd
+    order = np.argsort(shard_of, kind="stable")
+    vals, rows, cols, shard_of = (vals[order], rows[order], cols[order],
+                                  shard_of[order])
+    is_hot = hpos[cols] >= 0
+    starts = np.searchsorted(shard_of, np.arange(ndev))
+    ends = np.searchsorted(shard_of, np.arange(ndev), side="right")
+
+    def split(s):
+        sl = slice(int(starts[s]), int(ends[s]))
+        h = is_hot[sl]
+        pv, pr, pc = vals[sl], rows[sl] - s * rpd, cols[sl]
+        hot = (pv[h], pr[h], hpos[pc[h]])
+        cold = (pv[~h], pr[~h], pc[~h])
+        # empty streams pack one explicit zero entry (contributes 0)
+        z1 = (np.zeros(1, np.float32), np.zeros(1, np.int64),
+              np.zeros(1, np.int64))
+        return (hot if len(hot[0]) else z1), (cold if len(cold[0]) else z1)
+
+    def pack_all(hkw=None, ckw=None):
+        hots, colds = [], []
+        for s in range(ndev):
+            hot, cold = split(s)
+            hots.append(wcoo_pack(rpd, k_hot, *hot, **(hkw or {})))
+            colds.append(wwcoo_pack(rpd, n, *cold, **(ckw or {})))
+        return hots, colds
+
+    hots, colds = pack_all()
+    hkw = dict(force_emax=max(p.eb for p in hots) * 1024,
+               force_kb=max(p.kb for p in hots),
+               force_ku=max(p.ku for p in hots))
+    ckw = dict(force_emax=max(p.eb for p in colds) * 1024,
+               force_kb=max(p.kb for p in colds),
+               force_js=max(p.js for p in colds),
+               force_w=max(max(p.wc, p.wf, p.wu, p.wm, p.wz)
+                           for p in colds))
+    if any(p.eb * 1024 != hkw["force_emax"] or p.kb != hkw["force_kb"]
+           or p.ku != hkw["force_ku"] for p in hots) or any(
+           p.eb * 1024 != ckw["force_emax"] or p.kb != ckw["force_kb"]
+           or p.js != ckw["force_js"]
+           or len({p.wc, p.wf, p.wu, p.wm, p.wz, ckw["force_w"]}) > 1
+           for p in colds):
+        hots, colds = pack_all(hkw, ckw)
+
+    stacked_hot = jax.tree_util.tree_map(lambda *xs: jnp.stack(xs), *hots)
+    stacked_cold = jax.tree_util.tree_map(lambda *xs: jnp.stack(xs), *colds)
+    b = jnp.asarray(b, jnp.float32)
+    if b.shape != (m,):
+        raise ValueError(f"b must have shape ({m},), got {b.shape}")
+    b_pad = jnp.zeros((ndev * rpd,), jnp.float32).at[:m].set(b)
+    return (stacked_hot, stacked_cold,
+            jnp.asarray(hotcols, jnp.int32), b_pad, rpd)
+
+
+def lsqr_sharded_rwcoo(
+    A,
+    b,
+    damp: float = 0.0,
+    *,
+    mesh: Optional[Mesh] = None,
+    axis_name: str = "rows",
+    options: Optional[LSQROptions] = None,
+    **option_overrides,
+):
+    """Row-partitioned distributed LSQR for WIDE-n general sparsity
+    (4096 < n <= 262,144) with column concentration: each shard runs the
+    RWCOO hot/cold routed kernels (hot panel through compacted WCOO,
+    sparse tail through WWCOO — ops/rwcoo.py) on its row block.
+    Communication per iteration is the COO path's: one psum for the
+    transpose product, one for the u-norm."""
+    opts = options or LSQROptions()
+    if option_overrides:
+        opts = opts.replace(**option_overrides)
+    mesh = mesh if mesh is not None else make_mesh(axis_name=axis_name)
+    m, n = A.m, A.n
+    stacked_hot, stacked_cold, hotmap, b_pad, rpd = _prep_rwcoo_shards(
+        A, b, mesh, axis_name)
+
+    itnlim = opts.resolve_itnlim(n)
+    pair = bool(opts.pair) if opts.pair is not None else True
+    solver_kw = dict(
+        itnlim=itnlim,
+        wantse=opts.wantse,
+        nconv=opts.nconv,
+        record_trace=opts.record_trace,
+        safe_norms=opts.safe_norms,
+        debug_log=opts.debug_log,
+        scalar_dtype=(str(jnp.dtype(opts.scalar_dtype))
+                      if opts.scalar_dtype is not None else None),
+        fused=pair,
+        pair=pair,
+    )
+
+    @partial(
+        jax.shard_map,
+        mesh=mesh,
+        in_specs=(P(axis_name), P(axis_name), P(), P(axis_name),
+                  P(), P(), P(), P()),
+        out_specs=P(),
+        check_vma=False,
+    )
+    def run(hot_l, cold_l, hotmap_, b_local, damp_, atol_, btol_, conlim_):
+        op = _LocalRWCOOShard(
+            hot=jax.tree_util.tree_map(lambda a: a[0], hot_l),
+            cold=jax.tree_util.tree_map(lambda a: a[0], cold_l),
+            hotmap=hotmap_,
+            axis=axis_name,
+            global_m=m,
+            _n=n,
+        )
+        return _lsqr_impl(
+            op, b_local.reshape(-1), damp_, atol_, btol_, conlim_,
+            **solver_kw
+        )
+
+    return jax.jit(run)(*_globalize(
+        mesh,
+        stacked_hot,
+        stacked_cold,
+        hotmap,
+        b_pad,
+        jnp.asarray(damp, jnp.float32),
+        jnp.asarray(opts.atol, jnp.float32),
+        jnp.asarray(opts.btol, jnp.float32),
+        jnp.asarray(opts.conlim, jnp.float32),
+    ))
+
+
 def _wcoo_sibling_sharded(impl, n_scalars):
     """Factory for the sibling solvers over the WCOO row partition (same
     collective layout as _dia_sibling_sharded; local products run the
