@@ -2038,6 +2038,85 @@ def cgls_sharded_wcoo(A, b, damp=0.0, *, mesh=None, axis_name="rows",
         default_itnlim=lambda m, n: 4 * n, pair=bool(pair))
 
 
+def _rwcoo_sibling_sharded(impl, n_scalars):
+    """Factory for the sibling solvers over the RWCOO (wide-n hot/cold)
+    row partition — same collective layout as _wcoo_sibling_sharded;
+    local products run the routed hot-WCOO + cold-WWCOO kernels."""
+
+    def solve(A, b, *scalars, mesh=None, axis_name="rows",
+              itnlim=None, safe_norms=True, default_itnlim=None, **impl_kw):
+        mesh = mesh if mesh is not None else make_mesh(axis_name=axis_name)
+        stacked_hot, stacked_cold, hotmap, b_pad, rpd = _prep_rwcoo_shards(
+            A, b, mesh, axis_name)
+        m, n = A.m, A.n
+        if itnlim is None:
+            itnlim = default_itnlim(m, n)
+        kw = dict(itnlim=int(itnlim), safe_norms=safe_norms, **impl_kw)
+
+        @partial(
+            jax.shard_map,
+            mesh=mesh,
+            in_specs=(P(axis_name), P(axis_name), P(), P(axis_name))
+                     + (P(),) * n_scalars,
+            out_specs=P(),
+            check_vma=False,
+        )
+        def run(hot_l, cold_l, hotmap_, b_local, *sc):
+            op = _LocalRWCOOShard(
+                hot=jax.tree_util.tree_map(lambda a: a[0], hot_l),
+                cold=jax.tree_util.tree_map(lambda a: a[0], cold_l),
+                hotmap=hotmap_,
+                axis=axis_name,
+                global_m=m,
+                _n=n,
+            )
+            return impl(op, b_local.reshape(-1), *sc, **kw)
+
+        return jax.jit(run)(*_globalize(
+            mesh, stacked_hot, stacked_cold, hotmap, b_pad,
+            *[jnp.asarray(s, jnp.float32) for s in scalars]))
+
+    return solve
+
+
+def lsmr_sharded_rwcoo(A, b, damp=0.0, *, mesh=None, axis_name="rows",
+                       atol=1e-6, btol=1e-6, conlim=0.0, itnlim=None,
+                       safe_norms=True, pair=True):
+    """Row-partitioned distributed LSMR on RWCOO (wide-n) shards (see
+    :func:`lsqr_sharded_rwcoo` for the partition/kernel layout)."""
+    from ..lsmr import _lsmr_impl
+
+    return _rwcoo_sibling_sharded(_lsmr_impl, 4)(
+        A, b, damp, atol, btol, conlim, mesh=mesh, axis_name=axis_name,
+        itnlim=itnlim, safe_norms=safe_norms,
+        default_itnlim=lambda m, n: min(m, n), record_trace=False,
+        pair=bool(pair))
+
+
+def craig_sharded_rwcoo(A, b, *, mesh=None, axis_name="rows",
+                        atol=1e-6, btol=1e-6, itnlim=None, safe_norms=True,
+                        pair=True):
+    """Row-partitioned distributed CRAIG on RWCOO (wide-n) shards."""
+    from ..craig import _craig_impl
+
+    return _rwcoo_sibling_sharded(_craig_impl, 2)(
+        A, b, atol, btol, mesh=mesh, axis_name=axis_name,
+        itnlim=itnlim, safe_norms=safe_norms,
+        default_itnlim=lambda m, n: min(m, n), pair=bool(pair))
+
+
+def cgls_sharded_rwcoo(A, b, damp=0.0, *, mesh=None, axis_name="rows",
+                       atol=1e-6, btol=1e-6, itnlim=None, safe_norms=True,
+                       pair=True):
+    """Row-partitioned distributed CGLS on RWCOO (wide-n) shards."""
+    from ..cgls import _cgls_impl
+
+    return _rwcoo_sibling_sharded(_cgls_impl, 3)(
+        A, b, damp, atol, btol, mesh=mesh, axis_name=axis_name,
+        itnlim=itnlim, safe_norms=safe_norms,
+        default_itnlim=lambda m, n: 4 * n, pair=bool(pair))
+
+
 @jax.tree_util.register_dataclass
 @dataclasses.dataclass(frozen=True)
 class _Local2DWCOOShard(LinearOperator):

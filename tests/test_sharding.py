@@ -674,3 +674,53 @@ def test_rwcoo_sharded_matches_unsharded():
     assert abs(phi(res.x) - phi(ref.x)) <= 1e-3 * phi(ref.x)
     np.testing.assert_allclose(float(res.rnorm), float(ref.rnorm),
                                rtol=1e-3)
+
+
+@pytest.mark.slow
+def test_rwcoo_sharded_siblings_match_unsharded():
+    """LSMR/CRAIG/CGLS on RWCOO (wide-n) row shards vs their unsharded
+    solvers at matched itn, compared on solver-level norms (see
+    test_rwcoo_sharded_matches_unsharded for why not raw iterates)."""
+    import scipy.sparse
+
+    from lsqr_tpu.ops.rwcoo import rwcoo_operator
+    from lsqr_tpu.parallel import (cgls_sharded_rwcoo, craig_sharded_rwcoo,
+                                   lsmr_sharded_rwcoo)
+
+    rng = np.random.default_rng(11)
+    m, n, nnz = 8 * 4096, 8192, 50000
+    cols = rng.zipf(1.1, size=6 * nnz) - 1
+    cols = cols[cols < n][:nnz].astype(np.int64)
+    rows = rng.integers(0, m, nnz).astype(np.int64)
+    vals = rng.standard_normal(nnz).astype(np.float32)
+    # use_pallas=True: the unsharded refs run the SAME routed kernels
+    # the shards run, so only the 8-way psum reduction grouping differs.
+    # On this Zipf problem the partially-converged trajectory still
+    # drifts O(0.5%) in the norms from that alone (the per-product and
+    # per-shard exactness burden is carried by
+    # test_rwcoo_sharded_matches_unsharded, whose local operator class
+    # is exactly what these sibling factories instantiate).
+    A = rwcoo_operator(m, n, vals, rows, cols, use_pallas=True)
+    assert A.cold is not None
+    S = scipy.sparse.coo_matrix((vals, (rows, cols)), shape=(m, n)).tocsr()
+    x_true = rng.standard_normal(n).astype(np.float32)
+    b = S @ x_true
+    mesh = make_mesh(8)
+
+    r = lsmr_sharded_rwcoo(A, b, 0.2, mesh=mesh, itnlim=8,
+                           atol=0.0, btol=0.0, conlim=0.0)
+    ref = lt.lsmr(A, b, 0.2, itnlim=8, atol=0.0, btol=0.0, conlim=0.0)
+    assert int(r.itn) == int(ref.itn)
+    np.testing.assert_allclose(float(r.normr), float(ref.normr), rtol=2e-2)
+
+    r = cgls_sharded_rwcoo(A, b, 0.2, mesh=mesh, itnlim=8,
+                           atol=0.0, btol=0.0)
+    ref = lt.cgls(A, b, 0.2, itnlim=8, atol=0.0, btol=0.0)
+    assert int(r.itn) == int(ref.itn)
+    np.testing.assert_allclose(float(r.rnorm), float(ref.rnorm), rtol=2e-2)
+
+    r = craig_sharded_rwcoo(A, b, mesh=mesh, itnlim=8, atol=0.0, btol=0.0)
+    ref = lt.craig(A, b, itnlim=8, atol=0.0, btol=0.0)
+    assert int(r.itn) == int(ref.itn)
+    np.testing.assert_allclose(float(r.rnorm), float(ref.rnorm),
+                               rtol=2e-2, atol=1e-5)
