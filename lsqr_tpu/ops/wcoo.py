@@ -79,6 +79,24 @@ _KB_MAX = 7
 _KU_MAX = 16
 
 
+def _vmem_guard(eb, npad):
+    """Refuse packs whose per-chunk kernel blocks would blow the ~16 MiB
+    scoped VMEM at compile time (measured round 5: eb=111 at npad=4096
+    demands 21.18 MiB — Mosaic stack OOM; eb=80 at npad=2048 runs at
+    13.9 MiB). The empirical fit is ~(158 KiB + 8*npad) per subtile
+    (double-buffered entry planes + ep table + scratch + pipeline
+    overhead); cap the estimate at 15 MiB so auto_operator falls back
+    instead of the user hitting a compile error."""
+    demand = eb * (158_000 + 8 * npad)
+    if demand > 15 * (1 << 20):
+        raise WCOOPackError(
+            f"chunk density too high: {eb} entry subtiles at n_pad "
+            f"{npad} would need ~{demand / (1 << 20):.0f} MiB of VMEM "
+            f"(> ~16 MiB scoped limit); use more rows per entry or a "
+            f"blocked/COO format"
+        )
+
+
 def wcoo_pack(m, n, vals, rows, cols, *, force_emax=None,
               force_kb=None, force_ku=None) -> WCOOPacked:
     """Build the WCOO layout from (unsorted) COO triplets.
@@ -111,6 +129,7 @@ def wcoo_pack(m, n, vals, rows, cols, *, force_emax=None,
                 f"chunk needs {emax} entry slots > forced {force_emax}")
         emax = int(force_emax)
     eb = emax // 1024
+    _vmem_guard(eb, npad)
 
     # ---- native fast path (round-5 item 8): the per-chunk pipeline in
     # thread-parallel C++ (native/sparse_pack.cpp lsqr_wcoo_pack),

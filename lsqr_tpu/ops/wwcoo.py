@@ -310,6 +310,18 @@ def wwcoo_pack(m, n, vals, rows, cols, *, force_emax=None, force_kb=None,
                 f"forced {force_w}")
         wc = wf = wu = wm = wz = int(force_w)
 
+    # VMEM guard (round 5, see ops/wcoo._vmem_guard): double-buffered
+    # entry planes + windowed tables + x/z/colmap blocks + scratches must
+    # fit the ~16 MiB scoped limit; refuse instead of compile-OOMing
+    demand = (eb * 36_864 + (wm + wz) * 8_192
+              + (xs + js) * 2_048)
+    if demand > 14 * (1 << 20):
+        raise WWCOOPackError(
+            f"chunk density too high: ~{demand / (1 << 20):.0f} MiB of "
+            f"VMEM blocks (eb={eb}, wm={wm}, wz={wz}, n_pad={xs * 128}, "
+            f"D_pad={js * 128}) exceeds the ~16 MiB scoped limit"
+        )
+
     colmap_p = np.full((nc, d_pad), n_pad, np.int32)  # pad: out of range
     cwk_jb = np.zeros((nc, wc), np.int32)
     # padding compaction items re-merge slab 0 against the top x window:
