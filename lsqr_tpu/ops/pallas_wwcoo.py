@@ -60,8 +60,11 @@ crossbar items per chunk — paid once per chunk, not per subtile, and
 independent of the column distribution (uniform and Zipf both work).
 
 Constraints (checked by the packer; callers fall back to COO): f32;
-n <= 262,144 (x and z VMEM blocks); the same per-128-row /
-per-1024-entry window constraints as WCOO (kb <= 7, ku <= 16).
+n <= 262,144 (x and z VMEM blocks); the per-128-row forward window
+constraint of WCOO (kb <= 7); per-chunk work lists capped at 1024
+items; a VMEM block-demand guard refuses dense-chunk packs. Unlike
+WCOO there is NO row-density floor: the item-based u-gather costs what
+the real spans cost instead of a static max-KU unroll.
 """
 
 from __future__ import annotations
