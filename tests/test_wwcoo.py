@@ -161,3 +161,49 @@ def test_wwcoo_oracle_consistency(rng):
     y = rng.standard_normal(m).astype(np.float32)
     np.testing.assert_allclose(np.asarray(Ap.rmatvec(y)),
                                np.asarray(Ac.rmatvec(y)), atol=1e-3)
+
+
+@pytest.mark.slow
+def test_rwcoo_pack_random_sweep(rng):
+    """Robustness sweep for the wide-n router: random shapes/densities/
+    skews either pack and produce correct products (vs scipy) or refuse
+    cleanly — never wrong answers. (Mirrors test_wcoo_pack_random_sweep;
+    interpret-mode kernels, so shapes stay small.)"""
+    from lsqr_tpu.ops.wcoo import WCOOPackError
+
+    packed = refused = 0
+    for seed in range(5):
+        r = np.random.default_rng(100 + seed)
+        m = 16384 + int(r.integers(0, 2000))
+        n = int(r.choice([5000, 8192, 20000, 40000]))
+        density = float(r.uniform(0.3, 4.0))
+        nnz = max(64, int(m * density))
+        if r.random() < 0.7:
+            cols = r.zipf(1.05 + r.random(), size=6 * nnz) - 1
+            cols = cols[cols < n][:nnz]
+            nnz = cols.size
+        else:
+            cols = r.integers(0, n, nnz)
+        rows = r.integers(0, m, nnz)
+        vals = r.standard_normal(nnz).astype(np.float32)
+        try:
+            A = rwcoo_operator(m, n, vals, rows, cols, use_pallas=True)
+        except (WWCOOPackError, WCOOPackError):
+            refused += 1
+            continue
+        packed += 1
+        S = scipy.sparse.coo_matrix((vals, (rows, cols)),
+                                    shape=(m, n)).tocsr()
+        x = r.standard_normal(n).astype(np.float32)
+        y = r.standard_normal(m).astype(np.float32)
+        ref = S @ x
+        np.testing.assert_allclose(
+            np.asarray(A.matvec(x)), ref,
+            atol=2e-4 * max(1.0, np.abs(ref).max()), err_msg=f"seed {seed}")
+        refz = S.T @ y
+        np.testing.assert_allclose(
+            np.asarray(A.rmatvec(y)), refz,
+            atol=2e-4 * max(1.0, np.abs(refz).max()), err_msg=f"seed {seed}")
+    # every packed case must have produced correct products; at least
+    # a couple of the skewed draws must actually pack
+    assert packed + refused == 5 and packed >= 2, (packed, refused)
