@@ -2241,6 +2241,217 @@ def _shard_wcoo_2d(A, ndev_r: int, ndev_c: int):
     return stacked, m_pad, n_pad, rpd, cpd
 
 
+@jax.tree_util.register_dataclass
+@dataclasses.dataclass(frozen=True)
+class _Local2DWWCOOShard(LinearOperator):
+    """2-D block-partition analogue of :class:`_Local2DWCOOShard` for
+    WIDE per-device column blocks (4096 < cpd <= 262,144): each block is
+    a WWCOO packing over its own column slice. 2-D blocks are sparse by
+    construction, which is exactly WWCOO's regime: the per-chunk column
+    compaction maps each chunk's few distinct columns onto a dense range
+    (so the window work lists stay short even at cpd = 262,144) and the
+    item-based u-gather has no row-density floor. No hot/cold routing is
+    needed — that exists for DENSE chunks whose distinct-column count
+    stays large after compaction, which 2-D slicing removes. No fused
+    pair: the adjoint needs the psum-completed u."""
+
+    packed: object     # WWCOOPacked (block rows, block-local columns)
+    axis_m: str = dataclasses.field(metadata=dict(static=True))
+    axis_n: str = dataclasses.field(metadata=dict(static=True))
+    global_m: int = dataclasses.field(metadata=dict(static=True))
+    global_n: int = dataclasses.field(metadata=dict(static=True))
+
+    @property
+    def m(self) -> int:
+        return self.packed.m
+
+    @property
+    def n(self) -> int:
+        return self.packed.n
+
+    @property
+    def dtype(self):
+        return jnp.dtype(jnp.float32)
+
+    @property
+    def axis_name_m(self):
+        return self.axis_m
+
+    @property
+    def axis_name_n(self):
+        return self.axis_n
+
+    def _interp(self) -> bool:
+        return jax.default_backend() != "tpu"
+
+    def matvec(self, x: jax.Array) -> jax.Array:
+        from ..ops.pallas_wwcoo import wwcoo_forward
+
+        y0 = jnp.zeros((self.m,), jnp.float32)
+        part = wwcoo_forward(self.packed, x, 1.0, 0.0, y0,
+                             interpret=self._interp())
+        return jax.lax.psum(part, self.axis_n)
+
+    def rmatvec(self, y: jax.Array) -> jax.Array:
+        from ..ops.pallas_wwcoo import wwcoo_adjoint
+
+        return jax.lax.psum(
+            wwcoo_adjoint(self.packed, y, interpret=self._interp()),
+            self.axis_m,
+        )
+
+
+def _shard_wwcoo_2d(A, ndev_r: int, ndev_c: int):
+    """Bucket entries into a (R, C) block grid and WWCOO-pack every
+    block with shared static shapes."""
+    from ..ops.rwcoo import RWCOOOperator
+    from ..ops.wwcoo import WWCOOOperator, wwcoo_pack
+
+    coo = A.coo if isinstance(A, (RWCOOOperator, WWCOOOperator)) else A
+    if not isinstance(coo, COOOperator):
+        raise TypeError("the 2-D WWCOO solver expects an RWCOOOperator, "
+                        "WWCOOOperator or COOOperator")
+    rows = np.asarray(coo.rows)
+    cols = np.asarray(coo.cols)
+    vals = np.asarray(coo.vals, np.float32)
+    m, n = A.m, A.n
+    m_pad = -(-m // ndev_r) * ndev_r
+    n_pad = -(-n // ndev_c) * ndev_c
+    rpd = m_pad // ndev_r
+    cpd = n_pad // ndev_c
+    if cpd > 262_144:
+        raise ValueError(
+            f"per-device column block is {cpd} > 262,144 — use more "
+            f"column shards (ndev_c >= {-(-n // 262_144)})"
+        )
+    dev_r = rows // rpd
+    dev_c = cols // cpd
+    bucket = dev_r * ndev_c + dev_c
+    order = np.argsort(bucket, kind="stable")
+    rows, cols, vals, bucket = (rows[order], cols[order], vals[order],
+                                bucket[order])
+    nb = ndev_r * ndev_c
+    starts = np.searchsorted(bucket, np.arange(nb))
+    ends = np.searchsorted(bucket, np.arange(nb), side="right")
+
+    def block(bidx):
+        r, c = divmod(bidx, ndev_c)
+        sl = slice(int(starts[bidx]), int(ends[bidx]))
+        if sl.start == sl.stop:
+            return (np.zeros(1, np.float32), np.zeros(1, np.int64),
+                    np.zeros(1, np.int64))
+        return (vals[sl], rows[sl] - r * rpd, cols[sl] - c * cpd)
+
+    blocks = [block(b) for b in range(nb)]
+
+    def pack_all(kw=None):
+        return [wwcoo_pack(rpd, cpd, *blk, **(kw or {}))
+                for blk in blocks]
+
+    packs = pack_all()
+    kw = dict(force_emax=max(p.eb for p in packs) * 1024,
+              force_kb=max(p.kb for p in packs),
+              force_js=max(p.js for p in packs),
+              force_w=max(max(p.wc, p.wf, p.wu, p.wm, p.wz)
+                          for p in packs))
+    packs = pack_all(kw)
+
+    st = jax.tree_util.tree_map(lambda *xs: jnp.stack(xs), *packs)
+    grid = jax.tree_util.tree_map(
+        lambda a: a.reshape((ndev_r, ndev_c) + a.shape[1:]), st)
+    return grid, m_pad, n_pad, rpd, cpd
+
+
+def lsqr_sharded_wwcoo_2d(
+    A,
+    b,
+    damp: float = 0.0,
+    *,
+    mesh: Optional[Mesh] = None,
+    mesh_shape: Optional[tuple] = None,
+    axis_names: tuple = ("rows", "cols"),
+    options: Optional[LSQROptions] = None,
+    **option_overrides,
+) -> LSQRResult:
+    """LSQR over a 2-D (rows x cols) block partition with WWCOO block
+    kernels — the scaling path for unstructured patterns whose n exceeds
+    even the single-device wide range (n up to 262,144 * ndev_c). The
+    2-D blocks are sparse by construction, which is WWCOO's regime (see
+    :class:`_Local2DWWCOOShard`); dense-chunk blocks are refused by the
+    packer (use :func:`lsqr_sharded_wcoo_2d` with more column shards so
+    cpd <= 4096 instead). Vector/collective layout identical to
+    :func:`lsqr_sharded_2d`."""
+    opts = options or LSQROptions()
+    if option_overrides:
+        opts = opts.replace(**option_overrides)
+    if mesh is None:
+        if mesh_shape is None:
+            raise ValueError("pass mesh= or mesh_shape=(R, C)")
+        mesh = make_mesh_2d(mesh_shape, axis_names)
+    ax_r, ax_c = axis_names
+    ndev_r = mesh.shape[ax_r]
+    ndev_c = mesh.shape[ax_c]
+    m, n = A.m, A.n
+
+    grid, m_pad, n_pad, rpd, cpd = _shard_wwcoo_2d(A, ndev_r, ndev_c)
+    dtype = jnp.float32
+    b = jnp.asarray(b, dtype)
+    if b.shape != (m,):
+        raise ValueError(f"b must have shape ({m},), got {b.shape}")
+    b_pad = jnp.zeros((m_pad,), dtype).at[:m].set(b)
+
+    itnlim = opts.resolve_itnlim(n)
+    solver_kw = dict(
+        itnlim=itnlim,
+        wantse=opts.wantse,
+        nconv=opts.nconv,
+        record_trace=opts.record_trace,
+        safe_norms=opts.safe_norms,
+        debug_log=opts.debug_log,
+        scalar_dtype=(str(jnp.dtype(opts.scalar_dtype))
+                      if opts.scalar_dtype is not None else None),
+    )
+
+    @partial(
+        jax.shard_map,
+        mesh=mesh,
+        in_specs=(P(ax_r, ax_c), P(ax_r), P(), P(), P(), P()),
+        out_specs=P(),
+        check_vma=False,
+    )
+    def run(packed_l, b_local, damp_, atol_, btol_, conlim_):
+        op = _Local2DWWCOOShard(
+            packed=jax.tree_util.tree_map(lambda a: a[0, 0], packed_l),
+            axis_m=ax_r,
+            axis_n=ax_c,
+            global_m=m,
+            global_n=n,
+        )
+        res = _lsqr_impl(
+            op, b_local.reshape(-1), damp_, atol_, btol_, conlim_,
+            **solver_kw
+        )
+        x_full = jax.lax.all_gather(res.x, ax_c, tiled=True)[:n]
+        se_full = (
+            jax.lax.all_gather(res.se, ax_c, tiled=True)[:n]
+            if res.se is not None
+            else None
+        )
+        return res._replace(x=x_full, se=se_full)
+
+    return jax.jit(run)(
+        *_globalize(
+            mesh,
+            grid,
+            b_pad,
+            jnp.asarray(damp, _rdt(dtype)),
+            jnp.asarray(opts.atol, _rdt(dtype)),
+            jnp.asarray(opts.btol, _rdt(dtype)),
+            jnp.asarray(opts.conlim, _rdt(dtype)),
+        )
+    )
+
+
 def lsqr_sharded_wcoo_2d(
     A,
     b,

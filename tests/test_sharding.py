@@ -724,3 +724,81 @@ def test_rwcoo_sharded_siblings_match_unsharded():
     assert int(r.itn) == int(ref.itn)
     np.testing.assert_allclose(float(r.rnorm), float(ref.rnorm),
                                rtol=2e-2, atol=1e-5)
+
+
+@pytest.mark.slow
+@pytest.mark.parametrize("mesh_shape", [(2, 4), (1, 4)])
+def test_wwcoo_sharded_2d_matches_unsharded(mesh_shape):
+    """2-D block partition with WWCOO block kernels (round 5):
+    per-device column blocks WIDER than WCOO's 4096 limit (cpd = 12288 /
+    3072 here). 2-D blocks are sparse, which is WWCOO's regime (dense
+    compacted columns, no row-density floor); compared against the
+    COO-products solve at matched itn on solver-level norms (see
+    test_rwcoo_sharded_matches_unsharded)."""
+    import scipy.sparse
+
+    from lsqr_tpu.parallel.sharding import (lsqr_sharded_wwcoo_2d,
+                                            make_mesh_2d)
+
+    rng = np.random.default_rng(3)
+    m, n, nnz = 2 * 8192 + 30, 24000, 60000
+    cols = rng.zipf(1.1, size=6 * nnz) - 1
+    cols = cols[cols < n][:nnz].astype(np.int64)
+    rows = rng.integers(0, m, nnz).astype(np.int64)
+    vals = rng.standard_normal(nnz).astype(np.float32)
+    A = lt.coo_operator(m, n, vals, rows, cols)
+    b = rng.standard_normal(m).astype(np.float32)
+    S = scipy.sparse.coo_matrix((vals, (rows, cols)), shape=(m, n)).tocsr()
+
+    # rigorous layer: per-block kernel products vs the COO oracle
+    import jax.numpy as jnp
+
+    from lsqr_tpu.parallel.sharding import _shard_wwcoo_2d
+    from lsqr_tpu.ops.pallas_wwcoo import wwcoo_adjoint, wwcoo_forward
+
+    R, C = mesh_shape
+    grid, m_pad, n_pad, rpd, cpd = _shard_wwcoo_2d(A, R, C)
+    assert cpd > 4096  # genuinely beyond the WCOO 2-D range
+    x = rng.standard_normal(n).astype(np.float32)
+    y = rng.standard_normal(m).astype(np.float32)
+    xp = np.zeros(n_pad, np.float32); xp[:n] = x
+    yp = np.zeros(m_pad, np.float32); yp[:m] = y
+    u_sum = np.zeros(m_pad, np.float64)
+    z_sum = np.zeros(n_pad, np.float64)
+    for r in range(R):
+        for c in range(C):
+            pk = jax.tree_util.tree_map(lambda a: a[r, c], grid)
+            xl = jnp.asarray(xp[c * cpd:(c + 1) * cpd])
+            y0 = jnp.zeros((rpd,), jnp.float32)
+            u_sum[r * rpd:(r + 1) * rpd] += np.asarray(
+                wwcoo_forward(pk, xl, 1.0, 0.0, y0, interpret=True),
+                np.float64)
+            yl = jnp.asarray(yp[r * rpd:(r + 1) * rpd])
+            z_sum[c * cpd:(c + 1) * cpd] += np.asarray(
+                wwcoo_adjoint(pk, yl, interpret=True), np.float64)
+    u_ref = np.asarray(A.matvec(jnp.asarray(x)))
+    z_ref = np.asarray(A.rmatvec(jnp.asarray(y)))
+    np.testing.assert_allclose(u_sum[:m], u_ref,
+                               atol=2e-4 * np.abs(u_ref).max())
+    np.testing.assert_allclose(z_sum[:n], z_ref,
+                               atol=2e-4 * np.abs(z_ref).max())
+
+    # end-to-end smoke at matched itn: every column of this wide Zipf
+    # pattern has ~2 entries, so partially-converged trajectories under
+    # different product roundings drift percent-level in the objective
+    # (measured 1.7%, sometimes in the sharded run's favor); the product
+    # parity above is the correctness check, this is the wiring check
+    ref = lt.lsqr(A, b, 0.3, atol=0.0, btol=0.0, conlim=0.0, itnlim=10)
+    res = lsqr_sharded_wwcoo_2d(A, b, 0.3, mesh=make_mesh_2d(mesh_shape),
+                                atol=0.0, btol=0.0, conlim=0.0, itnlim=10)
+    assert int(res.itn) == int(ref.itn)
+    assert res.x.shape == (n,)
+
+    def phi(xv):
+        xv = np.asarray(xv, np.float64)
+        r_ = S @ xv - np.asarray(b, np.float64)
+        return float(r_ @ r_ + 0.09 * xv @ xv)
+
+    assert abs(phi(res.x) - phi(ref.x)) <= 5e-2 * phi(ref.x)
+    np.testing.assert_allclose(float(res.rnorm), float(ref.rnorm),
+                               rtol=2e-2)
