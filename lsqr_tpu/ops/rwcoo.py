@@ -62,10 +62,6 @@ __all__ = ["RWCOOOperator", "rwcoo_operator"]
 _K_HOT = 4096
 
 
-class _RWCOOPackError(ValueError):
-    pass
-
-
 @jax.tree_util.register_dataclass
 @dataclasses.dataclass(frozen=True)
 class RWCOOOperator(LinearOperator):
