@@ -1283,6 +1283,108 @@ def _dia_pair_kernel(
         z_ref[s0:s0 + tm] = z_ref[s0:s0 + tm] + contrib.astype(z_ref.dtype)
 
 
+def _dia_pair_kernel_carry(
+    offsets, lo, hi, tm, win, W, m_total,
+    data_ref, y_ref, sc_ref, x_hbm,
+    out_ref, z_ref, zlast_ref, xw0_ref, xw1_ref, zcar_ref, sp_ref,
+    P_ref, sem
+):
+    """dia_pair with IN-KERNEL overlap-add (round 5): the separate
+    _overlap_add assembly pass reads all per-tile partials back and
+    rewrites z — a full extra z round-trip measured at 17% of the pair
+    (91.5 -> 110.8 Gnnz/s without it). Here tile t's partial is split
+    into (prev | main | spill): the z block for tile t-1 is written at
+    step t as carry + this tile's prev piece (the z out block index is
+    max(t-1, 0), so each block flushes after its final write), the carry
+    scratch becomes main + the previous tile's spill, and the last
+    block's value leaves through the small zlast output (the caller
+    patches it in — the nt-1 main block is never written in z).
+    Requires lo, hi <= 1024 and n <= nt*tm (dia_pair gates on this and
+    falls back to the _overlap_add path otherwise)."""
+    t = pl.program_id(0)
+    nt = pl.num_programs(0)
+    bufs = (xw0_ref, xw1_ref)
+
+    def window_dma(slot, tile):
+        return pltpu.make_async_copy(
+            x_hbm.at[pl.ds(tile * tm, win)], bufs[slot], sem.at[slot]
+        )
+
+    @pl.when(t == 0)
+    def _():
+        window_dma(0, 0).start()
+
+    even = t % 2 == 0
+
+    @pl.when((t + 1 < nt) & even)
+    def _():
+        window_dma(1, t + 1).start()
+
+    @pl.when((t + 1 < nt) & jnp.logical_not(even))
+    def _():
+        window_dma(0, t + 1).start()
+
+    @pl.when(even)
+    def _():
+        window_dma(0, t).wait()
+
+    @pl.when(jnp.logical_not(even))
+    def _():
+        window_dma(1, t).wait()
+
+    c1 = sc_ref[0, 0]
+    c2 = sc_ref[1, 0]
+    xw = jnp.where(even, xw0_ref[:], xw1_ref[:]).astype(jnp.float32) * c1
+
+    ragged = m_total % tm != 0
+    if ragged:
+        idx = t * tm + jax.lax.broadcasted_iota(jnp.int32, (tm, 1), 0)[:, 0]
+        valid = idx < m_total
+    stripes = []
+    for d in range(len(offsets)):
+        row = data_ref[d, :].astype(jnp.float32)
+        if ragged:
+            row = jnp.where(valid, row, 0.0)
+        stripes.append(row)
+
+    acc = (-c2) * y_ref[:].astype(jnp.float32)
+    for d, k in enumerate(offsets):
+        seg = jax.lax.slice(xw, (lo + k,), (lo + k + tm,))
+        acc = acc + stripes[d] * seg
+    out_ref[:] = acc.astype(out_ref.dtype)
+
+    # full (W,) partial via ref-slice accumulation (static ref offsets
+    # are the Mosaic-proven pattern; value-space pads with large offsets
+    # are rejected — "Input offsets outside of the first tile")
+    P_ref[:] = jnp.zeros((W,), jnp.float32)
+    for d, k in enumerate(offsets):
+        s0 = lo + k
+        P_ref[s0:s0 + tm] = P_ref[s0:s0 + tm] + stripes[d] * acc
+
+    # z block t-1 = carry (main(t-1) + spill(t-2)) + this tile's prev part
+    @pl.when(t > 0)
+    def _():
+        z_ref[:] = zcar_ref[:].astype(z_ref.dtype)
+        if lo:
+            z_ref[tm - lo:tm] = z_ref[tm - lo:tm] + P_ref[0:lo].astype(
+                z_ref.dtype)
+
+    # next carry = main(t) + spill(t-1); stash this tile's spill
+    if hi:
+        sp_prev = sp_ref[0:hi]            # read BEFORE overwriting
+    zcar_ref[:] = P_ref[lo:lo + tm]
+    if hi:
+        @pl.when(t > 0)
+        def _():
+            zcar_ref[0:hi] = zcar_ref[0:hi] + sp_prev
+        sp_ref[0:hi] = P_ref[lo + tm:lo + tm + hi]
+
+    # the final block leaves through zlast (its z slot is never written)
+    @pl.when(t == nt - 1)
+    def _():
+        zlast_ref[:] = zcar_ref[:].astype(zlast_ref.dtype)
+
+
 def _overlap_add(zp, nt, tm, W, lo, n, dtype):
     """Assemble z (n,) from per-tile partials zp (nt, W), where zp[t, w]
     contributes to z[t*tm - lo + w]. Static pads only — no scatters."""
@@ -1343,6 +1445,54 @@ def dia_pair(data, y, win_vec, c1, c2, *, offsets, m, n, interpret=False,
     sc = sc.at[1, :].set(jnp.asarray(c2, jnp.float32))
 
     out_dtype = jnp.float32 if data.dtype == jnp.bfloat16 else data.dtype
+
+    # carry path (round 5): in-kernel overlap-add — each z block is
+    # written ONCE with its final value (delayed one tile), removing the
+    # separate assembly pass's full z round-trip (measured: 91.5 -> ~110
+    # Gnnz/s at m=2^23). Gated on the carry scratch geometry; the
+    # _overlap_add path remains for wide bands / n beyond the row tiles.
+    if lo <= 1024 and hi <= 1024 and n <= nt * tm:
+        kernel = functools.partial(
+            _dia_pair_kernel_carry, ks, lo, hi, tm, win, W, m)
+        out, zmain, zlast = pl.pallas_call(
+            kernel,
+            grid=(nt,),
+            in_specs=[
+                pl.BlockSpec((len(ks), tm), lambda t: (0, t),
+                             memory_space=pltpu.VMEM),
+                pl.BlockSpec((tm,), lambda t: (t,),
+                             memory_space=pltpu.VMEM),
+                pl.BlockSpec((8, 128), lambda t: (0, 0),
+                             memory_space=pltpu.VMEM),
+                pl.BlockSpec(memory_space=pl.ANY),
+            ],
+            out_specs=(
+                pl.BlockSpec((tm,), lambda t: (t,),
+                             memory_space=pltpu.VMEM),
+                pl.BlockSpec((tm,), lambda t: (jnp.maximum(t - 1, 0),),
+                             memory_space=pltpu.VMEM),
+                pl.BlockSpec((tm,), lambda t: (0,),
+                             memory_space=pltpu.VMEM),
+            ),
+            out_shape=(
+                jax.ShapeDtypeStruct((nt * tm,), out_dtype),
+                jax.ShapeDtypeStruct((nt * tm,), jnp.float32),
+                jax.ShapeDtypeStruct((tm,), jnp.float32),
+            ),
+            scratch_shapes=[
+                pltpu.VMEM((win,), win_vec.dtype),
+                pltpu.VMEM((win,), win_vec.dtype),
+                pltpu.VMEM((tm,), jnp.float32),
+                pltpu.VMEM((1024,), jnp.float32),
+                pltpu.VMEM((W,), jnp.float32),
+                pltpu.SemaphoreType.DMA((2,)),
+            ],
+            interpret=interpret,
+        )(data, y2, sc, xp)
+        out = jax.lax.optimization_barrier(out)
+        z = jax.lax.dynamic_update_slice(zmain, zlast, ((nt - 1) * tm,))
+        return out[:m], jax.lax.slice(z, (0,), (n,)).astype(out_dtype)
+
     kernel = functools.partial(_dia_pair_kernel, ks, lo, hi, tm, win, W, m)
     out, zflat = pl.pallas_call(
         kernel,
@@ -1712,6 +1862,107 @@ def _dia_pair_shared_kernel(
         z_ref[s0:s0 + tm] = z_ref[s0:s0 + tm] + contrib.astype(z_ref.dtype)
 
 
+def _dia_pair_shared_kernel_carry(
+    offsets, H, tm, win, W, Lp,
+    c_ref, dp_hbm, vec_hbm, y_ref, out_ref, z_ref, zlast_ref,
+    dw0, dw1, vw0, vw1, zcar_ref, sp_ref, P_ref, sem,
+):
+    """Shared-stripe pair with IN-KERNEL overlap-add — the carry scheme
+    of :func:`_dia_pair_kernel_carry` (z blocks written once with their
+    final values, one tile delayed; the last block leaves through
+    zlast), on the shared-window DMA structure. Removes the separate
+    _overlap_add z round-trip (measured +14% on the packed pair)."""
+    t = pl.program_id(0)
+    nt = pl.num_programs(0)
+    nd = len(offsets)
+    dbufs = (dw0, dw1)
+    vbufs = (vw0, vw1)
+
+    def dmas(slot, tile):
+        cps = [
+            pltpu.make_async_copy(
+                dp_hbm.at[pl.ds(d * Lp + tile * tm, win)],
+                dbufs[slot].at[pl.ds(d * win, win)],
+                sem.at[slot, d],
+            )
+            for d in range(nd)
+        ]
+        cps.append(
+            pltpu.make_async_copy(
+                vec_hbm.at[pl.ds(tile * tm, win)], vbufs[slot],
+                sem.at[slot, nd],
+            )
+        )
+        return cps
+
+    @pl.when(t == 0)
+    def _():
+        for c in dmas(0, 0):
+            c.start()
+
+    even = t % 2 == 0
+
+    @pl.when((t + 1 < nt) & even)
+    def _():
+        for c in dmas(1, t + 1):
+            c.start()
+
+    @pl.when((t + 1 < nt) & jnp.logical_not(even))
+    def _():
+        for c in dmas(0, t + 1):
+            c.start()
+
+    @pl.when(even)
+    def _():
+        for c in dmas(0, t):
+            c.wait()
+
+    @pl.when(jnp.logical_not(even))
+    def _():
+        for c in dmas(1, t):
+            c.wait()
+
+    dw = jnp.where(even, dw0[:], dw1[:])
+    vw = jnp.where(even, vw0[:], vw1[:])
+    c1 = c_ref[0, 0]
+    c2 = c_ref[0, 1]
+    stripes = []
+    acc = (-c2) * y_ref[:].astype(jnp.float32)
+    for d, k in enumerate(offsets):
+        sd = H + d * win
+        seg_d = jax.lax.slice(dw, (sd,), (sd + tm,)).astype(jnp.float32)
+        seg_v = jax.lax.slice(vw, (H + k,), (H + k + tm,))
+        acc = acc + seg_d * (seg_v.astype(jnp.float32) * c1)
+        stripes.append(seg_d)
+    out_ref[:] = acc.astype(out_ref.dtype)
+
+    P_ref[:] = jnp.zeros((W,), jnp.float32)
+    for d, k in enumerate(offsets):
+        s0 = H + k
+        P_ref[s0:s0 + tm] = P_ref[s0:s0 + tm] + stripes[d] * acc
+
+    lo = hi = H
+    @pl.when(t > 0)
+    def _():
+        z_ref[:] = zcar_ref[:].astype(z_ref.dtype)
+        if lo:
+            z_ref[tm - lo:tm] = z_ref[tm - lo:tm] + P_ref[0:lo].astype(
+                z_ref.dtype)
+
+    if hi:
+        sp_prev = sp_ref[0:hi]            # read BEFORE overwriting
+    zcar_ref[:] = P_ref[lo:lo + tm]
+    if hi:
+        @pl.when(t > 0)
+        def _():
+            zcar_ref[0:hi] = zcar_ref[0:hi] + sp_prev
+        sp_ref[0:hi] = P_ref[lo + tm:lo + tm + hi]
+
+    @pl.when(t == nt - 1)
+    def _():
+        zlast_ref[:] = zcar_ref[:].astype(zlast_ref.dtype)
+
+
 @functools.partial(
     jax.jit, static_argnames=("offsets", "m", "n", "interpret", "tm")
 )
@@ -1741,6 +1992,54 @@ def dia_pair_shared(
     cs = jnp.stack([jnp.asarray(c1, jnp.float32),
                     jnp.asarray(c2, jnp.float32)]).reshape(1, 2)
     out_dtype = jnp.float32 if dp.dtype == jnp.bfloat16 else dp.dtype
+
+    # carry path (round 5): in-kernel overlap-add (see dia_pair); the
+    # _overlap_add assembly pass remains for wide halos / n beyond the
+    # row tiles.
+    if H <= 1024 and n <= nt * tm:
+        kernel = functools.partial(
+            _dia_pair_shared_kernel_carry, ks, H, tm, win, W, Lp
+        )
+        out, zmain, zlast = pl.pallas_call(
+            kernel,
+            grid=(nt,),
+            in_specs=[
+                pl.BlockSpec((1, 2), lambda t: (0, 0),
+                             memory_space=pltpu.SMEM),
+                pl.BlockSpec(memory_space=pl.ANY),
+                pl.BlockSpec(memory_space=pl.ANY),
+                pl.BlockSpec((tm,), lambda t: (t,),
+                             memory_space=pltpu.VMEM),
+            ],
+            out_specs=(
+                pl.BlockSpec((tm,), lambda t: (t,),
+                             memory_space=pltpu.VMEM),
+                pl.BlockSpec((tm,), lambda t: (jnp.maximum(t - 1, 0),),
+                             memory_space=pltpu.VMEM),
+                pl.BlockSpec((tm,), lambda t: (0,),
+                             memory_space=pltpu.VMEM),
+            ),
+            out_shape=(
+                jax.ShapeDtypeStruct((nt * tm,), out_dtype),
+                jax.ShapeDtypeStruct((nt * tm,), jnp.float32),
+                jax.ShapeDtypeStruct((tm,), jnp.float32),
+            ),
+            scratch_shapes=[
+                pltpu.VMEM((nd * win,), dp.dtype),
+                pltpu.VMEM((nd * win,), dp.dtype),
+                pltpu.VMEM((win,), vec.dtype),
+                pltpu.VMEM((win,), vec.dtype),
+                pltpu.VMEM((tm,), jnp.float32),
+                pltpu.VMEM((1024,), jnp.float32),
+                pltpu.VMEM((W,), jnp.float32),
+                pltpu.SemaphoreType.DMA((2, nd + 1)),
+            ],
+            interpret=interpret,
+        )(cs, dp, vecp, ypad)
+        out = jax.lax.optimization_barrier(out)
+        z = jax.lax.dynamic_update_slice(zmain, zlast, ((nt - 1) * tm,))
+        return out[:m], jax.lax.slice(z, (0,), (n,)).astype(out_dtype)
+
     kernel = functools.partial(
         _dia_pair_shared_kernel, ks, H, tm, win, W, Lp
     )
