@@ -2154,6 +2154,131 @@ def dia_product_shared_axpy(
 # anchor: the product pair lsqr.f90:681-694 (real-only there).
 
 
+def _zdia_pair_head(
+    offsets, lo, tm, win, m_total,
+    data_ref, yr_ref, yi_ref, sc_ref, x_hbm, ur_ref, ui_ref,
+    xw0_ref, xw1_ref, sem,
+):
+    """Shared forward half of the zdia pair kernels: window DMAs, plane
+    loads, complex forward accumulation, u writes. Returns
+    (accr, acci, srs, sis) for the adjoint tail."""
+    t = pl.program_id(0)
+    nt = pl.num_programs(0)
+    nd = len(offsets)
+    bufs = (xw0_ref, xw1_ref)
+
+    def window_dma(slot, tile):
+        return pltpu.make_async_copy(
+            x_hbm.at[:, pl.ds(tile * tm, win)], bufs[slot], sem.at[slot]
+        )
+
+    @pl.when(t == 0)
+    def _():
+        window_dma(0, 0).start()
+
+    even = t % 2 == 0
+
+    @pl.when((t + 1 < nt) & even)
+    def _():
+        window_dma(1, t + 1).start()
+
+    @pl.when((t + 1 < nt) & jnp.logical_not(even))
+    def _():
+        window_dma(0, t + 1).start()
+
+    @pl.when(even)
+    def _():
+        window_dma(0, t).wait()
+
+    @pl.when(jnp.logical_not(even))
+    def _():
+        window_dma(1, t).wait()
+
+    c1 = sc_ref[0, 0]
+    c2 = sc_ref[1, 0]
+    xw = jnp.where(even, xw0_ref[:], xw1_ref[:]).astype(jnp.float32) * c1
+    xwr = xw[0]
+    xwi = xw[1]
+
+    ragged = m_total % tm != 0
+    if ragged:
+        idx = t * tm + jax.lax.broadcasted_iota(jnp.int32, (tm, 1), 0)[:, 0]
+        valid = idx < m_total
+    srs, sis = [], []
+    for d in range(nd):
+        r = data_ref[d, :].astype(jnp.float32)
+        q = data_ref[nd + d, :].astype(jnp.float32)
+        if ragged:
+            r = jnp.where(valid, r, 0.0)
+            q = jnp.where(valid, q, 0.0)
+        srs.append(r)
+        sis.append(q)
+
+    accr = (-c2) * yr_ref[:].astype(jnp.float32)
+    acci = (-c2) * yi_ref[:].astype(jnp.float32)
+    for d, k in enumerate(offsets):
+        segr = jax.lax.slice(xwr, (lo + k,), (lo + k + tm,))
+        segi = jax.lax.slice(xwi, (lo + k,), (lo + k + tm,))
+        accr = accr + srs[d] * segr - sis[d] * segi
+        acci = acci + srs[d] * segi + sis[d] * segr
+    ur_ref[:] = accr.astype(ur_ref.dtype)
+    ui_ref[:] = acci.astype(ui_ref.dtype)
+    return accr, acci, srs, sis
+
+
+def _zdia_pair_kernel_carry(
+    offsets, lo, hi, tm, win, W, m_total,
+    data_ref, yr_ref, yi_ref, sc_ref, x_hbm,
+    ur_ref, ui_ref, zr_ref, zi_ref, zlr_ref, zli_ref,
+    xw0_ref, xw1_ref, zcr_ref, zci_ref, spr_ref, spi_ref,
+    Pr_ref, Pi_ref, sem,
+):
+    """zdia pair with IN-KERNEL overlap-add on both planes — the carry
+    scheme of :func:`_dia_pair_kernel_carry` applied to (zr, zi)."""
+    t = pl.program_id(0)
+    nt = pl.num_programs(0)
+    accr, acci, srs, sis = _zdia_pair_head(
+        offsets, lo, tm, win, m_total,
+        data_ref, yr_ref, yi_ref, sc_ref, x_hbm, ur_ref, ui_ref,
+        xw0_ref, xw1_ref, sem,
+    )
+
+    Pr_ref[:] = jnp.zeros((W,), jnp.float32)
+    Pi_ref[:] = jnp.zeros((W,), jnp.float32)
+    for d, k in enumerate(offsets):
+        cr = srs[d] * accr + sis[d] * acci
+        ci = srs[d] * acci - sis[d] * accr
+        s0 = lo + k
+        Pr_ref[s0:s0 + tm] = Pr_ref[s0:s0 + tm] + cr
+        Pi_ref[s0:s0 + tm] = Pi_ref[s0:s0 + tm] + ci
+
+    @pl.when(t > 0)
+    def _():
+        zr_ref[:] = zcr_ref[:]
+        zi_ref[:] = zci_ref[:]
+        if lo:
+            zr_ref[tm - lo:tm] = zr_ref[tm - lo:tm] + Pr_ref[0:lo]
+            zi_ref[tm - lo:tm] = zi_ref[tm - lo:tm] + Pi_ref[0:lo]
+
+    if hi:
+        spr_prev = spr_ref[0:hi]          # read BEFORE overwriting
+        spi_prev = spi_ref[0:hi]
+    zcr_ref[:] = Pr_ref[lo:lo + tm]
+    zci_ref[:] = Pi_ref[lo:lo + tm]
+    if hi:
+        @pl.when(t > 0)
+        def _():
+            zcr_ref[0:hi] = zcr_ref[0:hi] + spr_prev
+            zci_ref[0:hi] = zci_ref[0:hi] + spi_prev
+        spr_ref[0:hi] = Pr_ref[lo + tm:lo + tm + hi]
+        spi_ref[0:hi] = Pi_ref[lo + tm:lo + tm + hi]
+
+    @pl.when(t == nt - 1)
+    def _():
+        zlr_ref[:] = zcr_ref[:]
+        zli_ref[:] = zci_ref[:]
+
+
 def _zdia_pair_kernel(
     offsets, lo, hi, tm, win, W, m_total,
     data_ref, yr_ref, yi_ref, sc_ref, x_hbm,
@@ -2268,6 +2393,63 @@ def zdia_pair(dr, di, y, win_vec, c1, c2, *, offsets, m, n, interpret=False,
     sc = sc.at[0, :].set(jnp.asarray(c1, jnp.float32))
     sc = sc.at[1, :].set(jnp.asarray(c2, jnp.float32))
     d2 = jnp.concatenate([dr, di], axis=0)
+
+    # carry path (round 5): in-kernel overlap-add on both planes (see
+    # dia_pair); fallback below for wide halos / n beyond the row tiles.
+    if lo <= 1024 and hi <= 1024 and n <= nt * tm:
+        kernel = functools.partial(
+            _zdia_pair_kernel_carry, ks, lo, hi, tm, win, W, m)
+        tile = lambda t: (t,)
+        prev = lambda t: (jnp.maximum(t - 1, 0),)
+        first = lambda t: (0,)
+        ur, ui, zrm, zim, zlr, zli = pl.pallas_call(
+            kernel,
+            grid=(nt,),
+            in_specs=[
+                pl.BlockSpec((2 * len(ks), tm), lambda t: (0, t),
+                             memory_space=pltpu.VMEM),
+                pl.BlockSpec((tm,), tile, memory_space=pltpu.VMEM),
+                pl.BlockSpec((tm,), tile, memory_space=pltpu.VMEM),
+                pl.BlockSpec((8, 128), lambda t: (0, 0),
+                             memory_space=pltpu.VMEM),
+                pl.BlockSpec(memory_space=pl.ANY),
+            ],
+            out_specs=(
+                pl.BlockSpec((tm,), tile, memory_space=pltpu.VMEM),
+                pl.BlockSpec((tm,), tile, memory_space=pltpu.VMEM),
+                pl.BlockSpec((tm,), prev, memory_space=pltpu.VMEM),
+                pl.BlockSpec((tm,), prev, memory_space=pltpu.VMEM),
+                pl.BlockSpec((tm,), first, memory_space=pltpu.VMEM),
+                pl.BlockSpec((tm,), first, memory_space=pltpu.VMEM),
+            ),
+            out_shape=(
+                jax.ShapeDtypeStruct((nt * tm,), jnp.float32),
+                jax.ShapeDtypeStruct((nt * tm,), jnp.float32),
+                jax.ShapeDtypeStruct((nt * tm,), jnp.float32),
+                jax.ShapeDtypeStruct((nt * tm,), jnp.float32),
+                jax.ShapeDtypeStruct((tm,), jnp.float32),
+                jax.ShapeDtypeStruct((tm,), jnp.float32),
+            ),
+            scratch_shapes=[
+                pltpu.VMEM((2, win), jnp.float32),
+                pltpu.VMEM((2, win), jnp.float32),
+                pltpu.VMEM((tm,), jnp.float32),
+                pltpu.VMEM((tm,), jnp.float32),
+                pltpu.VMEM((1024,), jnp.float32),
+                pltpu.VMEM((1024,), jnp.float32),
+                pltpu.VMEM((W,), jnp.float32),
+                pltpu.VMEM((W,), jnp.float32),
+                pltpu.SemaphoreType.DMA((2,)),
+            ],
+            interpret=interpret,
+        )(d2, yr, yi, sc, xp)
+        ur = jax.lax.optimization_barrier(ur)
+        ui = jax.lax.optimization_barrier(ui)
+        zr = jax.lax.dynamic_update_slice(zrm, zlr, ((nt - 1) * tm,))
+        zi = jax.lax.dynamic_update_slice(zim, zli, ((nt - 1) * tm,))
+        return (jax.lax.complex(ur[:m], ui[:m]),
+                jax.lax.complex(jax.lax.slice(zr, (0,), (n,)),
+                                jax.lax.slice(zi, (0,), (n,))))
 
     kernel = functools.partial(_zdia_pair_kernel, ks, lo, hi, tm, win, W, m)
     ur, ui, zrf, zif = pl.pallas_call(
