@@ -464,21 +464,27 @@ def bench_xla(m, iters=30, storage_dtype=None):
 
 def bench_solve(m, variant, itn=64, storage_dtype=None):
     """End-to-end damped LSQR solve, ms/iteration, through the real user
-    path (lsqr() on a DIA operator) — catches solver-loop regressions the
-    kernel-pair stages cannot see. variant 'pallas' is the auto TPU route
-    (Pallas pair, while-loop; compile ~20 s at 2^23, 2.22 ms/iter measured
-    round 5); 'xla' forces the compile-helper-free path (compile ~9 s,
-    8.4 ms/iter). This times the loop the reference runs at
-    lsqr.f90:673-852."""
+    path (lsqr() on the auto-routed banded operator) — catches
+    solver-loop regressions the kernel-pair stages cannot see. variant
+    'pallas' is the auto TPU route: the SHARED-stripe layout (the f32
+    auto_operator default since round 5) with the carry pair inside the
+    while-loop — 1.38 ms/iter measured at 2^23 (the packed layout runs
+    1.59-1.63). 'xla' forces the compile-helper-free packed path
+    (compile ~9 s, 8.4 ms/iter). This times the loop the reference runs
+    at lsqr.f90:673-852."""
     import jax.numpy as jnp
 
     import lsqr_tpu as lt
-    from lsqr_tpu.ops.structured import dia_operator_device
+    from lsqr_tpu.ops.structured import (dia_operator_device,
+                                         dia_shared_operator)
 
-    use_pallas = None if variant == "pallas" else False
-    A = dia_operator_device(m, m, OFFSETS, _stripe_data(m),
-                            use_pallas=use_pallas,
-                            storage_dtype=storage_dtype)
+    if variant == "pallas" and storage_dtype is None:
+        A = dia_shared_operator(m, m, OFFSETS, _stripe_data(m))
+    else:
+        use_pallas = None if variant == "pallas" else False
+        A = dia_operator_device(m, m, OFFSETS, _stripe_data(m),
+                                use_pallas=use_pallas,
+                                storage_dtype=storage_dtype)
     b = jnp.ones((m,), jnp.float32)
     kw = dict(itnlim=itn, atol=0.0, btol=0.0, conlim=0.0)
     res = lt.lsqr(A, b, 0.01, **kw)  # compile + warm

@@ -204,7 +204,9 @@ def auto_operator(m, n, vals, rows, cols, *, dtype=None,
                   compact=False) -> LinearOperator:
     """Pick a TPU storage format from the sparsity pattern:
 
-    1. few distinct diagonals covering all nnz        -> DIA (ZDIA complex)
+    1. few distinct diagonals covering all nnz        -> DIA
+       (shared-stripe layout for f32 — faster carry pair + half the
+       operator HBM; packed DIA for f64; ZDIA for complex)
     2. jitter-bounded diagonals (>=95% slot fit)      -> JDIA (ZJDIA complex)
     3. unstructured f32, tall (m >= 16384), not blocky
        at (128, 128) (fill ratio > 4x):
@@ -219,10 +221,10 @@ def auto_operator(m, n, vals, rows, cols, *, dtype=None,
     the blocky gate and the pack-quality checks weigh against the ~25x
     product-throughput win over COO.
 
-    ``compact=True`` selects the shared-stripe DIA form in case 1 (half
-    the operator HBM — one padded stripe array serves both products; see
-    :func:`lsqr_tpu.dia_shared_operator`) for problems at the memory
-    limit; the fused half-step path then stays off.
+    ``compact=True`` forces the shared-stripe DIA form in case 1 for
+    NON-f32 dtypes too (f32 banded patterns use it by default — see
+    :func:`lsqr_tpu.dia_shared_operator`): one padded stripe array
+    serves both products, halving operator HBM.
     """
     rows_np = np.asarray(rows)
     cols_np = np.asarray(cols)
@@ -266,7 +268,14 @@ def auto_operator(m, n, vals, rows, cols, *, dtype=None,
         idx = np.searchsorted(diags, cols_np.astype(np.int64) - rows_np)
         np.add.at(stripes, (idx, rows_np), vals_np)
         offs = tuple(int(k) for k in diags)
-        if compact:
+        eff = (jnp.dtype(dtype) if dtype is not None
+               else jnp.empty((), vals_np.dtype).dtype)
+        if compact or eff == jnp.float32:
+            # shared-stripe layout is the f32 default since round 5: the
+            # carry pair measures FASTER than the packed layout (112-125
+            # vs 104-106 Gnnz/s; solves 1.38 vs 1.63 ms/iter at m=2^23)
+            # AND uses half the operator HBM. f64 (the x64 conformance
+            # mode) keeps the packed layout.
             from .structured import dia_shared_operator
 
             return dia_shared_operator(m, n, offs, stripes, dtype=dtype)

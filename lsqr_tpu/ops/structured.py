@@ -407,10 +407,12 @@ class DIASharedOperator(LinearOperator):
     both products are static per-diagonal slices of (stripe, vector)
     windows (ops/pallas_spmv.dia_product_shared). Stripe traffic per
     product matches the packed layout (+ the ~2H/tile window overlap),
-    so throughput is on par. Trade-offs: the fused half-step and the
-    iteration megakernels require the packed layout (`prefers_fused` is
-    False here), and the distributed row shards pack per-shard copies —
-    use `dia_operator(...)` (packed) for those paths.
+    so throughput is on par — and since round 5's carry pair kernels the
+    shared pair is FASTER than the packed one (112-125 vs 104-106
+    Gnnz/s at 92M nnz), making this the f32 default in
+    ``auto_operator``. Trade-offs: the iteration megakernels require the
+    packed layout, and the distributed DIA row shards accept this class
+    but repack each shard's row slice in packed form (via ``data``).
     """
 
     dp: jax.Array      # (ndiag * Lp,) FLAT padded shared stripes

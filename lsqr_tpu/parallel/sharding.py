@@ -444,10 +444,11 @@ def lsqr_sharded_dia(
     replicated so the banded matvec needs NO halo exchange, and the
     transpose product reduces with one psum per iteration — identical
     communication structure to the COO path (lsqr_sharded)."""
-    from ..ops.structured import DIAOperator
+    from ..ops.structured import DIAOperator, DIASharedOperator
 
-    if not isinstance(A, DIAOperator):
-        raise TypeError("lsqr_sharded_dia expects a DIAOperator")
+    if not isinstance(A, (DIAOperator, DIASharedOperator)):
+        raise TypeError("lsqr_sharded_dia expects a DIAOperator or "
+                        "DIASharedOperator")
     opts = options or LSQROptions()
     if option_overrides:
         opts = opts.replace(**option_overrides)
@@ -655,11 +656,14 @@ def lsqr_multidamp_sharded(
 def _prep_dia_shards(A, b, mesh, axis_name, dtype=None):
     """Per-device stripe slices + padded b for
     a row-partitioned DIA operator (the plumbing of lsqr_sharded_dia,
-    shared with the sibling solvers)."""
-    from ..ops.structured import DIAOperator
+    shared with the sibling solvers). Accepts the shared-stripe layout
+    too (its lazy ``data`` property reconstructs the row-aligned
+    stripes; each shard then stores its own packed row slice)."""
+    from ..ops.structured import DIAOperator, DIASharedOperator
 
-    if not isinstance(A, DIAOperator):
-        raise TypeError("the DIA sharded solvers expect a DIAOperator")
+    if not isinstance(A, (DIAOperator, DIASharedOperator)):
+        raise TypeError("the DIA sharded solvers expect a DIAOperator "
+                        "or DIASharedOperator")
     ndev = mesh.shape[axis_name]
     m, n = A.m, A.n
     m_pad = -(-m // ndev) * ndev

@@ -174,8 +174,10 @@ def test_lsqr_scipy_undamped_var(rng):
 
 
 def test_auto_operator_compact_dia(rng):
-    """compact=True selects the shared-stripe DIA form on banded patterns
-    (half the operator HBM; see test_dia_shared.py)."""
+    """Banded routing by dtype (round 5): f64 keeps the packed DIA form
+    (x64 conformance), f32 defaults to the shared-stripe form (faster
+    carry pair + half the operator HBM), and compact=True forces shared
+    for f64 too (see test_dia_shared.py)."""
     from lsqr_tpu.ops.interop import auto_operator
     from lsqr_tpu.ops.structured import DIAOperator, DIASharedOperator
 
@@ -185,10 +187,14 @@ def test_auto_operator_compact_dia(rng):
     vals = rng.standard_normal(len(rows))
     packed = auto_operator(m, n, vals, rows, cols)
     compact = auto_operator(m, n, vals, rows, cols, compact=True)
+    shared32 = auto_operator(m, n, vals.astype(np.float32), rows, cols)
     assert isinstance(packed, DIAOperator)
     assert isinstance(compact, DIASharedOperator)
+    assert isinstance(shared32, DIASharedOperator)
     np.testing.assert_array_equal(np.asarray(packed.todense()),
                                   np.asarray(compact.todense()))
+    np.testing.assert_allclose(np.asarray(packed.todense()),
+                               np.asarray(shared32.todense()), atol=1e-7)
 
 
 def test_lsmr_scipy_drop_in(rng):

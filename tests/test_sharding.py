@@ -802,3 +802,23 @@ def test_wwcoo_sharded_2d_matches_unsharded(mesh_shape):
     assert abs(phi(res.x) - phi(ref.x)) <= 5e-2 * phi(ref.x)
     np.testing.assert_allclose(float(res.rnorm), float(ref.rnorm),
                                rtol=2e-2)
+
+
+def test_sharded_dia_accepts_shared_operator(rng):
+    """The DIA row shards accept the shared-stripe layout (round 5: the
+    f32 auto default) — each shard repacks its row slice via the lazy
+    ``data`` property; result matches the packed-operator shards."""
+    from lsqr_tpu.ops.structured import dia_operator, dia_shared_operator
+    from lsqr_tpu.parallel.sharding import lsqr_sharded_dia
+
+    m = n = 260
+    offsets = (-4, -1, 0, 2, 5)
+    data = rng.standard_normal((len(offsets), m))
+    Ap = dia_operator(m, n, offsets, data, use_pallas=False)
+    As = dia_shared_operator(m, n, offsets, data, use_pallas=False)
+    b = rng.standard_normal(m)
+    kw = dict(atol=0.0, btol=0.0, conlim=0.0, itnlim=25)
+    rp = lsqr_sharded_dia(Ap, b, 0.05, mesh=make_mesh(8), **kw)
+    rs = lsqr_sharded_dia(As, b, 0.05, mesh=make_mesh(8), **kw)
+    assert int(rp.itn) == int(rs.itn)
+    np.testing.assert_array_equal(np.asarray(rp.x), np.asarray(rs.x))
