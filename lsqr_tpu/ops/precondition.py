@@ -23,7 +23,7 @@ import jax.numpy as jnp
 
 from .coo import COOOperator
 from .linop import DenseOperator, LinearOperator
-from .structured import DIAOperator, ELLOperator
+from .structured import DIAOperator, DIASharedOperator, ELLOperator
 
 __all__ = [
     "ComposedOperator",
@@ -118,6 +118,15 @@ def column_norms(A: LinearOperator) -> jax.Array:
         return jnp.sqrt(jnp.sum(A.tvals**2, axis=1))
     if isinstance(A, DIAOperator):
         return jnp.sqrt(jnp.sum(A.tdata**2, axis=0))
+    if isinstance(A, DIASharedOperator):
+        # column j holds dp[d, H + j - k_d]; the zero halo makes
+        # out-of-matrix positions contribute exactly 0
+        dp2 = A.dp.reshape(len(A.offsets), A.Lp).astype(jnp.float32)
+        acc = jnp.zeros((A.n,), jnp.float32)
+        for d, k in enumerate(A.offsets):
+            seg = jax.lax.slice(dp2[d], (A.H - k,), (A.H - k + A.n,))
+            acc = acc + seg * seg
+        return jnp.sqrt(acc)
     # generic operators: e_j probes via vmapped rmatvec-free path would need
     # n matvecs; refuse rather than silently run an O(n) product sweep
     raise TypeError(

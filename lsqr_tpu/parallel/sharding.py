@@ -533,7 +533,7 @@ def lsqr_multidamp_sharded(
     :class:`LSQRResult` with a leading (k,) axis, replicated on all devices.
     """
     from ..multidamp import _md_impl
-    from ..ops.structured import DIAOperator
+    from ..ops.structured import DIAOperator, DIASharedOperator
 
     opts = options or LSQROptions()
     if option_overrides:
@@ -552,7 +552,7 @@ def lsqr_multidamp_sharded(
                       if opts.scalar_dtype is not None else None),
     )
 
-    if isinstance(A, DIAOperator):
+    if isinstance(A, (DIAOperator, DIASharedOperator)):
         m, n = A.m, A.n
         data_s, row0s, b_pad, rpd, m_pad, dtype = _prep_dia_shards(
             A, b, mesh, axis_name, dtype=opts.dtype

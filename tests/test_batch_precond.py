@@ -257,3 +257,18 @@ def test_lsmr_batch_bounded(rng):
                      loop="bounded", loop_segment=7)
     np.testing.assert_array_equal(np.asarray(res.x), np.asarray(ref.x))
     np.testing.assert_array_equal(np.asarray(res.itn), np.asarray(ref.itn))
+
+
+def test_column_norms_shared_dia(rng):
+    """column_norms has an analytic rule for the shared-stripe layout
+    (round 5: the f32 auto default) matching the packed one."""
+    from lsqr_tpu.ops.precondition import column_norms
+    from lsqr_tpu.ops.structured import dia_operator, dia_shared_operator
+
+    for m, n, offs in [(200, 200, (-4, -1, 0, 2, 5)),
+                       (150, 202, (-7, 0, 6)), (202, 150, (-3, 0, 60))]:
+        data = rng.standard_normal((len(offs), m))
+        Ap = dia_operator(m, n, offs, data)
+        As = dia_shared_operator(m, n, offs, data)
+        np.testing.assert_allclose(np.asarray(column_norms(As)),
+                                   np.asarray(column_norms(Ap)), rtol=1e-6)
